@@ -1,0 +1,52 @@
+"""OR-CED baseline: VAE-style encoder/decoder.
+
+Oracles: ``ORCEDEncoder`` (``models.py:446-500``) and ``ORCEDDecoder``
+(``models.py:503-545``). Same gait backbone as PCAA; heads are plain Dense
+layers (no ELU on μ/logvar/classifier outputs, unlike CGEncoder's quirk).
+
+The reparametrization ``z = μ + ε·exp(0.5·logvar)`` samples ε **always** —
+the reference's ``torch.randn_like`` runs in eval mode too
+(``models.py:494-496``), so inference latents are stochastic; callers thread
+an explicit ``'reparam'`` PRNG stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from opensetgaitrecognition_pcaa_tpu.models.layers import GaitBackbone, TorchDense
+
+
+class ORCEDEncoder(nn.Module):
+    n_out_labels: int
+    sup_latent_dim: int = 32
+    pointnet_out_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        feats = GaitBackbone(self.pointnet_out_dim)(x, train)
+        mu = TorchDense(self.sup_latent_dim, name="MLP_mu")(feats)
+        logvar = TorchDense(self.sup_latent_dim, name="MLP_logvar")(feats)
+        eps = jax.random.normal(self.make_rng("reparam"), logvar.shape)
+        z = mu + eps * jnp.exp(0.5 * logvar)
+        logits = TorchDense(self.n_out_labels, name="MLP_classification")(z)
+        return logits, z, mu, logvar
+
+
+class ORCEDDecoder(nn.Module):
+    """Same 5-layer MLP decoder shape as CGDecoder but 32-d input
+    (reference ``models.py:503-545``; hidden sizes from DEC_MLP_SIZE)."""
+
+    nsteps: int = 30
+    nmax_points: int = 150
+    nfeatures: int = 4
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        size = self.nsteps * self.nfeatures * self.nmax_points
+        for s in (size // 16, size // 8, size // 4, size // 2):
+            z = nn.elu(TorchDense(s)(z))
+        z = TorchDense(size)(z)
+        return z.reshape(z.shape[0], self.nsteps, self.nmax_points, self.nfeatures)
