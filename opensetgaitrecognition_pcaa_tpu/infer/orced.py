@@ -1,0 +1,255 @@
+"""OR-CED open-set inference: ensemble OOD detection.
+
+Behavioral oracle: reference ``inference_ORCED.py``:
+
+1. a training-set statistics pass collects per-sample latents, per-sample
+   Chamfer reconstruction errors (``avg_out=False``) and predictions
+   (``:282-307``);
+2. per class k: mean/std of rec-error over all class-k samples; mean/std of
+   latents over *correctly predicted* class-k samples (``:89-98``);
+3. a test sample is "unseen" if EITHER
+   - latent criterion: the cdf-difference score ``compute_prob`` exceeds
+     0.95 for **all** classes (``:103-122``), OR
+   - reconstruction criterion: its rec-error exceeds μ_k + 2σ_k of its
+     predicted class (``:98,124-126``);
+   (the per-class rec-error pdf ``p_re_k`` is computed by the reference but
+   never used in the decision — dropped here);
+4. the unseen split leaves out one subject (the first encountered) to mirror
+   PCAA's threshold-validation subject (``:360-369,389``); batches are
+   filtered by their *first* label only, as in the reference.
+
+Parity quirk kept: the latent "covariance" passed to the cdf is
+``diag(std)`` — standard deviations on the diagonal, not variances
+(``inference_ORCED.py:107``; see ``ops/openset.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from opensetgaitrecognition_pcaa_tpu.config import SPLIT, Config
+from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
+from opensetgaitrecognition_pcaa_tpu.infer.artifacts import (
+    openset_metrics,
+    plot_openset_confusion_matrix,
+)
+from opensetgaitrecognition_pcaa_tpu.infer.common import batched_apply
+from opensetgaitrecognition_pcaa_tpu.models import (
+    GaussianMeanLearner,
+    ORCEDDecoder,
+    ORCEDEncoder,
+)
+from opensetgaitrecognition_pcaa_tpu.ops import hyperrectangle_prob, seq_chamfer
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    load_params,
+    module_path,
+)
+
+
+def orced_ensemble_ood_detection(
+    rec_err_tr: np.ndarray,
+    f_vecs_tr: np.ndarray,
+    thresholds_g: float,
+    gt_labels: np.ndarray,
+    pred_labels: np.ndarray,
+    x_test_prediction: np.ndarray,
+    z_test: np.ndarray,
+    re_test: np.ndarray,
+) -> np.ndarray:
+    """Reference ``ORCED_ensemble_ood_detection`` (``inference_ORCED.py:48-132``)."""
+    n_classes = len(np.unique(gt_labels))
+    correct = gt_labels == pred_labels
+
+    means_re, std_re, means_z, stds_z, thresholds_re = [], [], [], [], []
+    for k in range(n_classes):
+        means_re.append(np.mean(rec_err_tr[gt_labels == k]))
+        std_re.append(np.std(rec_err_tr[gt_labels == k]))
+        sel = f_vecs_tr[correct][gt_labels[correct] == k]
+        means_z.append(np.mean(sel, axis=0))
+        stds_z.append(np.std(sel, axis=0))
+        thresholds_re.append(means_re[k] + 2 * std_re[k])
+
+    # latent criterion: score > 0.95 for ALL classes → unseen
+    p_z_ks = np.stack(
+        [
+            # quirk: diag(std), not diag(std²) — see module docstring
+            hyperrectangle_prob(means_z[k], stds_z[k], z_test)
+            for k in range(n_classes)
+        ]
+    )  # (K, n_test)
+    latent_bools = np.sum(1 - p_z_ks < 1 - thresholds_g, axis=0) == n_classes
+
+    # reconstruction criterion: error above predicted-class μ+2σ → unseen
+    thr_re = np.array([thresholds_re[j] for j in x_test_prediction])
+    rec_err_bools = re_test > thr_re
+
+    out = np.array(x_test_prediction, dtype=np.int64)
+    out[np.logical_or(latent_bools, rec_err_bools)] = n_classes
+    return out
+
+
+def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
+    """Batched eval pass → (preds, latents, per-sample rec errors)."""
+    import jax.numpy as jnp
+
+    def fwd(chunk):
+        logits, z, mu, logvar = encoder.apply(
+            enc_vars, chunk, train=False, rngs={"reparam": key}
+        )
+        rec = decoder.apply(dec_vars, z)
+        re = seq_chamfer(rec, chunk, avg_out=False)
+        return logits.argmax(axis=1), z, re
+
+    preds, zs, res = batched_apply(fwd, x, batch_size)
+    return preds.astype(np.int64), zs, res
+
+
+def orced_inference_setup(
+    model_name: str,
+    *,
+    models_path: str = "models",
+    data_path: Optional[str] = None,
+    generate_dataset: bool = True,
+):
+    run_dir = os.path.join(models_path, model_name)
+    cfg = Config.load(os.path.join(run_dir, "config.json"))
+    if generate_dataset:
+        generate_splits(
+            data_path=data_path or cfg.DATA_PATH,
+            gen_data_path=cfg.GEN_DATA_PATH,
+            train_classes=cfg.TRAIN_CLASSES,
+            seed=0,
+            nmax_points=cfg.NMAX,
+            nsteps=cfg.NSTEPS,
+            crop_step=cfg.CROP_STEP,
+            verbose=False,
+        )
+
+    encoder = ORCEDEncoder(
+        n_out_labels=cfg.n_classes,
+        sup_latent_dim=cfg.SUP_LATENT_DIM,
+        pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+    )
+    decoder = ORCEDDecoder(
+        nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+    )
+    mean_learner = GaussianMeanLearner(cfg.SUP_LATENT_DIM)
+    enc_vars = load_params(module_path(run_dir, model_name, "E"))
+    dec_vars = load_params(module_path(run_dir, model_name, "G"))
+    ml_vars = load_params(module_path(run_dir, model_name, "ML"))
+
+    # cluster means: eval-mode mean learner on the identity one-hots
+    # (reference inference_ORCED.py:246-251; computed though unused by the
+    # ensemble decision — kept for contract parity).
+    import jax.numpy as jnp
+
+    oh = jnp.eye(cfg.n_classes, dtype=jnp.float32)
+    cluster_means = np.asarray(mean_learner.apply(ml_vars, oh, train=False))
+
+    return cfg, encoder, decoder, enc_vars, dec_vars, cluster_means
+
+
+def orced_inference(
+    model_names: Sequence[str],
+    *,
+    models_path: str = "models",
+    figures_path: str = "figures",
+    data_path: Optional[str] = None,
+    generate_dataset: bool = True,
+    batch_size: int = 64,
+    seed: int = 0,
+) -> Dict:
+    """Full OR-CED evaluation driver (reference ``ORCED_inference``,
+    ``inference_ORCED.py:257-456``)."""
+    import jax
+
+    results: Dict = {}
+    for model_name in model_names:
+        figures_folder = os.path.join(figures_path, model_name)
+        os.makedirs(figures_folder, exist_ok=True)
+
+        cfg, encoder, decoder, enc_vars, dec_vars, _ = orced_inference_setup(
+            model_name,
+            models_path=models_path,
+            data_path=data_path,
+            generate_dataset=generate_dataset,
+        )
+        key = jax.random.PRNGKey(seed)
+
+        ds_train = RadarCropDataset(SPLIT.TRAIN, cfg.GEN_DATA_PATH)
+        ds_test = RadarCropDataset(SPLIT.TEST, cfg.GEN_DATA_PATH)
+        ds_unseen = RadarCropDataset(SPLIT.UNSEEN, cfg.GEN_DATA_PATH)
+
+        # training statistics pass (drop_last=True in the reference loader,
+        # inference_ORCED.py:191-197)
+        x_tr, y_tr = ds_train.load_all()
+        n_keep = (len(y_tr) // batch_size) * batch_size
+        tr_preds, tr_z, tr_re = _orced_pass(
+            encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key, batch_size
+        )
+        gt_labels = y_tr[:n_keep].astype(np.int64)
+        n_labels = len(np.unique(gt_labels))
+        thresholds_g = 0.95  # inference_ORCED.py:310
+
+        # seen test set
+        x_te, y_te = ds_test.load_all()
+        te_preds, te_z, te_re = _orced_pass(
+            encoder, decoder, enc_vars, dec_vars, x_te, key, batch_size
+        )
+        test_open_preds = orced_ensemble_ood_detection(
+            tr_re, tr_z, thresholds_g, gt_labels, tr_preds, te_preds, te_z, te_re
+        )
+
+        # unseen set: leave out the first-encountered subject (fairness vs
+        # PCAA's validation subject); batch-level filter by first label.
+        x_un, y_un = ds_unseen.load_all()
+        un_preds, un_z, un_re = _orced_pass(
+            encoder, decoder, enc_vars, dec_vars, x_un, key, batch_size
+        )
+        leave_out = int(y_un[0])
+        keep = []
+        for start in range(0, len(y_un), batch_size):
+            sl = slice(start, min(start + batch_size, len(y_un)))
+            if int(y_un[start]) != leave_out:
+                keep.append(np.arange(sl.start, sl.stop))
+        keep_idx = (
+            np.concatenate(keep) if keep else np.empty((0,), dtype=np.int64)
+        )
+        unseen_open_preds = orced_ensemble_ood_detection(
+            tr_re,
+            tr_z,
+            thresholds_g,
+            gt_labels,
+            tr_preds,
+            un_preds[keep_idx],
+            un_z[keep_idx],
+            un_re[keep_idx],
+        )
+
+        final_preds = np.concatenate([test_open_preds, unseen_open_preds])
+        final_labels = np.concatenate(
+            [y_te.astype(np.int64), np.full(len(unseen_open_preds), n_labels)]
+        )
+
+        metrics = openset_metrics(final_labels, final_preds)
+        plot_openset_confusion_matrix(
+            final_labels,
+            final_preds,
+            n_labels,
+            os.path.join(figures_folder, "openset_cnfmtrx_ensemble_ood_fixed.png"),
+        )
+        np.save(
+            os.path.join(figures_folder, "ensemble_ood_final_preds_fixed.npy"),
+            final_preds,
+        )
+        np.save(
+            os.path.join(figures_folder, "ensemble_ood_final_labels_fixed.npy"),
+            final_labels,
+        )
+        results[model_name] = metrics
+    return results

@@ -1,0 +1,331 @@
+"""OR-CED baseline training (VAE + metric learning).
+
+Behavioral oracle: reference ``train_ORCED`` (``train_ORCED.py:21-329``).
+One Adam over encoder + decoder + mean learner; per-batch loss
+
+    REC_W·Chamfer + CE_W·CE + TRIPLET_W·Triplet(MS-mined, L2-normalized z)
+    + KL_W·CG-KL·(epoch/EPOCHS)
+
+with the KL weight annealed linearly by epoch (``train_ORCED.py:122``).
+
+Preserved quirk: the reference passes ``betas=(B1, B1)`` — i.e. Adam's
+second moment decay is 0.9, not B2=0.99 (``train_ORCED.py:93-98``).
+
+Same TPU structure as the PCAA trainer: whole-epoch jitted ``lax.scan``,
+on-device dataset, one host sync per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from opensetgaitrecognition_pcaa_tpu.config import SPLIT, Config
+from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.models import (
+    GaussianMeanLearner,
+    ORCEDDecoder,
+    ORCEDEncoder,
+)
+from opensetgaitrecognition_pcaa_tpu.ops import (
+    cg_kl_divergence,
+    cross_entropy,
+    seq_chamfer,
+    triplet_loss_with_ms_miner,
+)
+from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    module_path,
+    save_params,
+)
+
+
+class ORCEDState(struct.PyTreeNode):
+    params: Any  # {"encoder", "decoder", "mean_learner"}
+    batch_stats: Any  # {"encoder", "mean_learner"}
+    opt: Any
+    key: jax.Array
+
+
+def build_orced(cfg: Config, key: jax.Array):
+    n = cfg.n_classes
+    encoder = ORCEDEncoder(
+        n_out_labels=n,
+        sup_latent_dim=cfg.SUP_LATENT_DIM,
+        pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+    )
+    decoder = ORCEDDecoder(
+        nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+    )
+    mean_learner = GaussianMeanLearner(cfg.SUP_LATENT_DIM)
+
+    keys = jax.random.split(key, 4)
+    x0 = jnp.zeros((2, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32)
+    oh0 = jnp.zeros((2, n), jnp.float32)
+    enc_vars = encoder.init(
+        {"params": keys[0], "reparam": keys[0]}, x0, train=False
+    )
+    dec_vars = decoder.init(
+        keys[1], jnp.zeros((2, cfg.SUP_LATENT_DIM), jnp.float32)
+    )
+    ml_vars = mean_learner.init(keys[2], oh0, train=False)
+
+    params = {
+        "encoder": enc_vars["params"],
+        "decoder": dec_vars["params"],
+        "mean_learner": ml_vars["params"],
+    }
+    batch_stats = {
+        "encoder": enc_vars["batch_stats"],
+        "mean_learner": ml_vars["batch_stats"],
+    }
+    # Reference quirk: betas=(B1, B1) — see module docstring.
+    tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1)
+    state = ORCEDState(
+        params=params,
+        batch_stats=batch_stats,
+        opt=tx.init(params),
+        key=keys[3],
+    )
+    return (encoder, decoder, mean_learner, tx), state
+
+
+def make_orced_epoch_fns(models, cfg: Config):
+    encoder, decoder, mean_learner, tx = models
+    n = cfg.n_classes
+
+    def train_step(state: ORCEDState, pcs, labels, step_idx, kl_mult):
+        key = jax.random.fold_in(state.key, step_idx)
+        oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+
+        def loss_fn(params):
+            (logits, z, mu, logvar), enc_muts = encoder.apply(
+                {
+                    "params": params["encoder"],
+                    "batch_stats": state.batch_stats["encoder"],
+                },
+                pcs,
+                train=True,
+                rngs={"reparam": key},
+                mutable=["batch_stats"],
+            )
+            rec = decoder.apply({"params": params["decoder"]}, z)
+            mu_gts, ml_muts = mean_learner.apply(
+                {
+                    "params": params["mean_learner"],
+                    "batch_stats": state.batch_stats["mean_learner"],
+                },
+                oh,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+            rec_loss = cfg.REC_W * seq_chamfer(rec, pcs)
+            sup_loss = cfg.CE_W * cross_entropy(logits, labels)
+            z_norm = z / jnp.linalg.norm(z, axis=1, keepdims=True)
+            trip_loss = cfg.TRIPLET_W * triplet_loss_with_ms_miner(
+                z_norm, labels, margin=cfg.TRIPLET_MARGIN
+            )
+            kl_loss = cfg.KL_W * cg_kl_divergence(mu, logvar, mu_gts) * kl_mult
+            tot = rec_loss + sup_loss + trip_loss + kl_loss
+            aux = (
+                rec_loss,
+                sup_loss,
+                trip_loss,
+                kl_loss,
+                logits,
+                {
+                    "encoder": enc_muts["batch_stats"],
+                    "mean_learner": ml_muts["batch_stats"],
+                },
+            )
+            return tot, aux
+
+        (tot, (rec, sup, trip, kl, logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=1)
+        metrics = {
+            "rec_loss": rec,
+            "sup_loss": sup,
+            "trip_loss": trip,
+            "kl_loss": kl,
+            "tot_loss": tot,
+            "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
+        }
+        return (
+            state.replace(params=new_params, batch_stats=new_bs, opt=new_opt),
+            metrics,
+        )
+
+    def train_epoch(state, x_all, y_all, perm, kl_mult):
+        def body(state, step_and_idx):
+            step_idx, idx = step_and_idx
+            return train_step(
+                state,
+                jnp.take(x_all, idx, axis=0),
+                jnp.take(y_all, idx, axis=0),
+                step_idx,
+                kl_mult,
+            )
+
+        steps = jnp.arange(perm.shape[0])
+        return jax.lax.scan(body, state, (steps, perm))
+
+    def valid_epoch(state, x_all, y_all, perm, key):
+        def body(carry, step_and_idx):
+            step_idx, idx = step_and_idx
+            pcs = jnp.take(x_all, idx, axis=0)
+            labels = jnp.take(y_all, idx, axis=0)
+            # eval mode still samples the reparam noise (models/orced.py).
+            logits, z, mu, logvar = encoder.apply(
+                {
+                    "params": state.params["encoder"],
+                    "batch_stats": state.batch_stats["encoder"],
+                },
+                pcs,
+                train=False,
+                rngs={"reparam": jax.random.fold_in(key, step_idx)},
+            )
+            rec = decoder.apply({"params": state.params["decoder"]}, z)
+            rec_loss = cfg.REC_W * seq_chamfer(rec, pcs)
+            ce = cfg.CE_W * cross_entropy(logits, labels)
+            correct = jnp.sum(jnp.argmax(logits, axis=1) == labels).astype(
+                jnp.float32
+            )
+            return carry, {"rec_loss": rec_loss, "ce_loss": ce, "n_correct": correct}
+
+        steps = jnp.arange(perm.shape[0])
+        _, metrics = jax.lax.scan(body, None, (steps, perm))
+        return metrics
+
+    return (
+        jax.jit(train_epoch, donate_argnums=(0,)),
+        jax.jit(valid_epoch),
+    )
+
+
+def train_orced(
+    cfg: Config,
+    *,
+    wandb_mode: str = "disabled",
+    datasets: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Train one OR-CED run; writes run folder (E/G/ML) and returns metrics."""
+    run_dir = cfg.run_dir()
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    name = cfg.MODEL_NAME
+
+    if datasets is None:
+        ds_train = RadarCropDataset(
+            SPLIT.TRAIN, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+        )
+        ds_valid = RadarCropDataset(
+            SPLIT.VALID, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+        )
+        x_train, y_train = ds_train.load_all()
+        x_valid, y_valid = ds_valid.load_all()
+    else:
+        x_train, y_train, x_valid, y_valid = datasets
+
+    x_train, y_train = jnp.asarray(x_train), jnp.asarray(y_train)
+    x_valid, y_valid = jnp.asarray(x_valid), jnp.asarray(y_valid)
+
+    key = jax.random.PRNGKey(cfg.SEED)
+    models, state = build_orced(cfg, key)
+    train_epoch, valid_epoch = make_orced_epoch_fns(models, cfg)
+    logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
+    host_rng = np.random.default_rng(cfg.SEED)
+
+    n_train = x_train.shape[0]
+    steps = n_train // cfg.BATCH_SIZE
+    valid_steps = x_valid.shape[0] // cfg.BATCH_SIZE
+    valid_perm = jnp.asarray(
+        np.arange(valid_steps * cfg.BATCH_SIZE)
+        .reshape(valid_steps, cfg.BATCH_SIZE)
+        .astype(np.int32)
+    )
+
+    def checkpoint():
+        save_params(
+            {
+                "params": state.params["encoder"],
+                "batch_stats": state.batch_stats["encoder"],
+            },
+            module_path(run_dir, name, "E"),
+        )
+        save_params({"params": state.params["decoder"]}, module_path(run_dir, name, "G"))
+        save_params(
+            {
+                "params": state.params["mean_learner"],
+                "batch_stats": state.batch_stats["mean_learner"],
+            },
+            module_path(run_dir, name, "ML"),
+        )
+
+    best_valid_acc = 0.0
+    t_start = time.time()
+    total_windows = 0
+    out: Dict[str, float] = {}
+
+    for epoch in range(cfg.EPOCHS):
+        kl_mult = jnp.float32(epoch / cfg.EPOCHS)  # train_ORCED.py:122
+        order = host_rng.permutation(n_train)
+        perm = jnp.asarray(
+            order[: steps * cfg.BATCH_SIZE]
+            .reshape(steps, cfg.BATCH_SIZE)
+            .astype(np.int32)
+        )
+        state, m = train_epoch(state, x_train, y_train, perm, kl_mult)
+        vm = valid_epoch(
+            state, x_valid, y_valid, valid_perm, jax.random.fold_in(key, epoch)
+        )
+        m, vm = jax.device_get((m, vm))
+        total_windows += steps * cfg.BATCH_SIZE
+
+        train_acc = float(np.sum(m["n_correct"]) / (steps * cfg.BATCH_SIZE))
+        valid_acc = float(np.sum(vm["n_correct"]) / (valid_steps * cfg.BATCH_SIZE))
+        epoch_metrics = {
+            "Reconstruction Loss Train": float(np.mean(m["rec_loss"])),
+            "Reconstruction Loss Valid": float(np.mean(vm["rec_loss"])),
+            "Cross Entropy Loss Train": float(np.mean(m["sup_loss"])),
+            "Cross Entropy Loss Valid": float(np.mean(vm["ce_loss"])),
+            "Triplet Loss": float(np.mean(m["trip_loss"])),
+            "KL Loss": float(np.mean(m["kl_loss"])),
+            "Total Loss Train": float(np.mean(m["tot_loss"])),
+            "Train Accuracy": train_acc,
+            "Valid Accuracy": valid_acc,
+        }
+        logger.log(epoch_metrics, step=epoch)
+        if verbose:
+            print(
+                f"[{name}] epoch {epoch + 1}/{cfg.EPOCHS} "
+                f"rec={epoch_metrics['Reconstruction Loss Train']:.4f} "
+                f"kl={epoch_metrics['KL Loss']:.4f} "
+                f"trip={epoch_metrics['Triplet Loss']:.4f} "
+                f"acc={train_acc:.3f} vacc={valid_acc:.3f}"
+            )
+
+        if epoch % cfg.CHECKPOINT_FREQUENCY == 0 and valid_acc > best_valid_acc:
+            best_valid_acc = valid_acc
+            checkpoint()
+        out = dict(epoch_metrics)
+
+    elapsed = time.time() - t_start
+    out["windows_per_sec"] = total_windows / max(elapsed, 1e-9)
+    out["best_valid_accuracy"] = best_valid_acc
+    logger.finish()
+    if best_valid_acc == 0.0:
+        checkpoint()
+    return out

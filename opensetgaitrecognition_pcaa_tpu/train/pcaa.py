@@ -1,0 +1,561 @@
+"""PCAA adversarial training: one parameterized trainer for all 4 variants.
+
+The reference implements four near-identical 350-line loops
+(``train_AAE.py:25-364`` = variant 2/BASE, ``PCAA_ablation.py:28-378`` = V1,
+``:392-743`` = V3, ``:746-1122`` = V4). Their differences are pure
+configuration — projection heads on/off, decoder on/off, learned vs fixed
+centroids — so here they collapse into one ``VariantSpec``-driven trainer
+(SURVEY.md §7.1 step 5).
+
+TPU design:
+- the **entire epoch** is one jitted ``lax.scan`` over batches; the split
+  lives on device for the whole run, batches are gathers by index. The
+  reference syncs host↔device every batch for ``.item()`` logging
+  (``PCAA_ablation.py:891-895,974``) — here the only per-epoch host sync is
+  fetching the stacked epoch metrics;
+- the WGAN-GP double-backward is ``jax.grad`` composed inside the outer
+  discriminator-loss ``jax.grad`` (native in XLA; SURVEY.md §7.3);
+- both Adam updates + BatchNorm running-stat updates happen inside the same
+  jitted step; state is donated, so no reallocation churn.
+
+Semantics parity notes (vs the reference training step, V4 path
+``PCAA_ablation.py:867-1030``):
+- the encoder forward runs once per batch; the D-step sees its latents
+  detached (``stop_gradient``), the G-step differentiates through a
+  recomputation with identical inputs/params/BN-batch statistics;
+- the G-step's critic uses the *post-update* discriminator parameters
+  (torch updates D in-place before computing ``synth_logits``);
+- GP interpolation coefficients are per-sample uniforms broadcast across the
+  latent dim (``PCAA_ablation.py:945-949``);
+- V1's mean learner is **frozen at init** — ``Variable(z0 + mus)`` in the
+  reference detaches it from every loss (verified against torch; see
+  ``models/mean_learner.py``) — only its BatchNorm running stats update;
+- the prior sample ``z = z0 + mu_class`` is fully detached (same reason);
+- supervision (CE) joins the generator loss every
+  ``SUPERVISION_FREQUENCY``-th batch (``PCAA_ablation.py:1005-1013``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION, Config
+from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.models import (
+    CGDecoder,
+    CGDiscriminator,
+    CGEncoder,
+    GaussianMeanLearner,
+    ProjectionHead,
+)
+from opensetgaitrecognition_pcaa_tpu.ops import (
+    cross_entropy,
+    gradient_penalty,
+    sample_distant_points,
+    seq_chamfer,
+)
+from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    module_path,
+    save_array,
+    save_params,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VariantSpec:
+    """Which optional pieces a PCAA ablation variant uses."""
+
+    name: str
+    use_enc_head: bool
+    use_decoder: bool
+    use_dec_head: bool
+    learned_centroids: bool
+    use_disc_head: bool = False
+
+
+VARIANTS: Dict[VARIATION, VariantSpec] = {
+    VARIATION.V1: VariantSpec("V1", True, True, True, True),
+    VARIATION.V2: VariantSpec("V2", False, True, False, False),
+    VARIATION.BASE: VariantSpec("BASE", False, True, False, False),
+    VARIATION.V3: VariantSpec("V3", False, False, False, False),
+    VARIATION.V4: VariantSpec("V4", True, True, True, False),
+}
+
+
+class PCAAState(struct.PyTreeNode):
+    params_g: Any
+    params_d: Any
+    ml_params: Any  # frozen mean-learner params (V1) or empty dict
+    batch_stats: Any
+    opt_g: Any
+    opt_d: Any
+    centroids: jnp.ndarray  # (n_classes, latent); fixed prior means
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class PCAAModules:
+    encoder: CGEncoder
+    discriminator: CGDiscriminator
+    decoder: Optional[CGDecoder]
+    dec_head: Optional[ProjectionHead]
+    disc_head: Optional[ProjectionHead]
+    mean_learner: Optional[GaussianMeanLearner]
+    spec: VariantSpec
+    tx_g: Any = None
+    tx_d: Any = None
+
+
+def build_pcaa(
+    cfg: Config, spec: VariantSpec, key: jax.Array
+) -> Tuple[PCAAModules, PCAAState]:
+    n = cfg.n_classes
+    latent = cfg.SUP_LATENT_DIM
+    mods = PCAAModules(
+        encoder=CGEncoder(
+            n_out_labels=n,
+            sup_latent_dim=latent,
+            pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+            use_projection_head=spec.use_enc_head,
+        ),
+        discriminator=CGDiscriminator(),
+        decoder=(
+            CGDecoder(
+                nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+            )
+            if spec.use_decoder
+            else None
+        ),
+        dec_head=ProjectionHead(latent * 2) if spec.use_dec_head else None,
+        disc_head=ProjectionHead(latent) if spec.use_disc_head else None,
+        mean_learner=GaussianMeanLearner(latent) if spec.learned_centroids else None,
+        spec=spec,
+    )
+
+    keys = jax.random.split(key, 8)
+    x0 = jnp.zeros((2, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32)
+    z0 = jnp.zeros((2, latent), jnp.float32)
+    oh0 = jnp.zeros((2, n), jnp.float32)
+
+    enc_vars = mods.encoder.init(keys[0], x0, train=False)
+    disc_vars = mods.discriminator.init(keys[1], z0, oh0)
+
+    params_g = {"encoder": enc_vars["params"]}
+    batch_stats = {"encoder": enc_vars["batch_stats"]}
+    if mods.dec_head is not None:
+        params_g["dec_head"] = mods.dec_head.init(keys[2], z0)["params"]
+    if mods.decoder is not None:
+        dec_in = latent * 2 if spec.use_dec_head else latent
+        params_g["decoder"] = mods.decoder.init(
+            keys[3], jnp.zeros((2, dec_in), jnp.float32)
+        )["params"]
+
+    params_d = {"discriminator": disc_vars["params"]}
+    if mods.disc_head is not None:
+        params_d["disc_head"] = mods.disc_head.init(
+            keys[4], jnp.zeros((2, latent * 2), jnp.float32)
+        )["params"]
+
+    ml_params: Any = {}
+    if mods.mean_learner is not None:
+        ml_vars = mods.mean_learner.init(keys[5], oh0, train=False)
+        ml_params = ml_vars["params"]
+        batch_stats["mean_learner"] = ml_vars["batch_stats"]
+
+    # Fixed prior centroids (reference utils.py:216-251, seed 42); V1 ignores
+    # them in the step (it queries its frozen mean learner instead).
+    centroids = jnp.asarray(
+        sample_distant_points(latent, n, min_dist=10, sphere_radius=10, seed=42)
+    )
+
+    mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2)
+    mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2)
+
+    state = PCAAState(
+        params_g=params_g,
+        params_d=params_d,
+        ml_params=ml_params,
+        batch_stats=batch_stats,
+        opt_g=mods.tx_g.init(params_g),
+        opt_d=mods.tx_d.init(params_d),
+        centroids=centroids,
+        key=keys[6],
+    )
+    return mods, state
+
+
+def _encoder_apply(mods, params, bstats, pcs, train):
+    variables = {"params": params, "batch_stats": bstats}
+    if train:
+        (logits, fv), muts = mods.encoder.apply(
+            variables, pcs, train=True, mutable=["batch_stats"]
+        )
+        return logits, fv, muts["batch_stats"]
+    logits, fv = mods.encoder.apply(variables, pcs, train=False)
+    return logits, fv, bstats
+
+
+def make_train_step(mods: PCAAModules, cfg: Config):
+    spec = mods.spec
+    n = cfg.n_classes
+    latent = cfg.SUP_LATENT_DIM
+
+    def step(state: PCAAState, pcs, labels, step_idx):
+        key = jax.random.fold_in(state.key, step_idx)
+        k_z, k_alpha = jax.random.split(key)
+        oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+
+        # --- one encoder forward (train mode); canonical BN-stat update ----
+        logits0, fv0, new_enc_bs = _encoder_apply(
+            mods, state.params_g["encoder"], state.batch_stats["encoder"], pcs, True
+        )
+        fv_detached = jax.lax.stop_gradient(fv0)
+
+        batch_stats = dict(state.batch_stats)
+        batch_stats["encoder"] = new_enc_bs
+
+        # --- class prior means ------------------------------------------
+        if spec.learned_centroids:
+            # Frozen-params mean learner, train-mode BN (stats update).
+            mus, ml_muts = mods.mean_learner.apply(
+                {
+                    "params": state.ml_params,
+                    "batch_stats": state.batch_stats["mean_learner"],
+                },
+                oh,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            mus = jax.lax.stop_gradient(mus)
+            batch_stats["mean_learner"] = ml_muts["batch_stats"]
+        else:
+            mus = oh @ state.centroids
+
+        # Prior sample; fully detached (reference wraps in Variable()).
+        z0 = jax.random.normal(k_z, (pcs.shape[0], latent))
+        z = jax.lax.stop_gradient(z0 + mus)
+        alphas = jax.random.uniform(k_alpha, (pcs.shape[0], 1))
+
+        # --- discriminator (critic) step ----------------------------------
+        def d_loss_fn(params_d):
+            def critic(x):
+                return mods.discriminator.apply(
+                    {"params": params_d["discriminator"]}, x, oh
+                )[:, 0]
+
+            if spec.use_disc_head:
+                fake = jax.lax.stop_gradient(
+                    mods.disc_head.apply(
+                        {"params": params_d["disc_head"]}, fv_detached
+                    )
+                )
+            else:
+                fake = fv_detached
+            real_logits = critic(z)
+            fake_logits = critic(fake)
+            gp = gradient_penalty(critic, z, fake, alphas)
+            return (
+                jnp.mean(fake_logits)
+                - jnp.mean(real_logits)
+                + cfg.GP_WEIGHT * gp
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.params_d)
+        d_updates, new_opt_d = mods.tx_d.update(d_grads, state.opt_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # --- generator (encoder+decoder) step ------------------------------
+        sup_on = (step_idx % cfg.SUPERVISION_FREQUENCY) == 0
+
+        def g_loss_fn(params_g):
+            logits, fv, _ = _encoder_apply(
+                mods,
+                params_g["encoder"],
+                state.batch_stats["encoder"],
+                pcs,
+                True,
+            )
+            if spec.use_decoder:
+                h = (
+                    mods.dec_head.apply({"params": params_g["dec_head"]}, fv)
+                    if spec.use_dec_head
+                    else fv
+                )
+                rec = mods.decoder.apply({"params": params_g["decoder"]}, h)
+                rec_loss = seq_chamfer(rec, pcs)
+            else:
+                rec_loss = jnp.float32(0.0)
+
+            # Critic with *updated* D params; grads flow into fv only.
+            disc_in = (
+                mods.disc_head.apply({"params": new_params_d["disc_head"]}, fv)
+                if spec.use_disc_head
+                else fv
+            )
+            synth_logits = mods.discriminator.apply(
+                {"params": new_params_d["discriminator"]}, disc_in, oh
+            )[:, 0]
+            adv_loss = -jnp.mean(synth_logits) * cfg.ADV_WEIGHT
+
+            sup_loss = cross_entropy(logits, labels)
+            tot = rec_loss + adv_loss + jnp.where(sup_on, sup_loss, 0.0)
+            return tot, (rec_loss, adv_loss, sup_loss)
+
+        (tot_loss, (rec_loss, adv_loss, sup_loss)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params_g)
+        g_updates, new_opt_g = mods.tx_g.update(g_grads, state.opt_g, state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, g_updates)
+
+        preds = jnp.argmax(logits0, axis=1)
+        metrics = {
+            "rec_loss": rec_loss,
+            "d_loss": d_loss,
+            "sup_loss": sup_loss,
+            "tot_loss": tot_loss,
+            "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
+        }
+        new_state = state.replace(
+            params_g=new_params_g,
+            params_d=new_params_d,
+            batch_stats=batch_stats,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_epoch_fns(mods: PCAAModules, cfg: Config):
+    """→ (train_epoch, valid_epoch), both jitted whole-epoch scans."""
+    spec = mods.spec
+    train_step = make_train_step(mods, cfg)
+
+    def train_epoch(state: PCAAState, x_all, y_all, perm):
+        """perm: (steps, B) int32 gather indices for this epoch's batches."""
+
+        def body(state, step_and_idx):
+            step_idx, idx = step_and_idx
+            pcs = jnp.take(x_all, idx, axis=0)
+            labels = jnp.take(y_all, idx, axis=0)
+            return train_step(state, pcs, labels, step_idx)
+
+        steps = jnp.arange(perm.shape[0])
+        state, metrics = jax.lax.scan(body, state, (steps, perm))
+        return state, metrics
+
+    def valid_epoch(state: PCAAState, x_all, y_all, perm):
+        def body(carry, idx):
+            pcs = jnp.take(x_all, idx, axis=0)
+            labels = jnp.take(y_all, idx, axis=0)
+            logits, fv, _ = _encoder_apply(
+                mods,
+                state.params_g["encoder"],
+                state.batch_stats["encoder"],
+                pcs,
+                False,
+            )
+            if spec.use_decoder:
+                h = (
+                    mods.dec_head.apply({"params": state.params_g["dec_head"]}, fv)
+                    if spec.use_dec_head
+                    else fv
+                )
+                rec = mods.decoder.apply({"params": state.params_g["decoder"]}, h)
+                rec_loss = seq_chamfer(rec, pcs)
+            else:
+                rec_loss = jnp.float32(0.0)
+            ce = cross_entropy(logits, labels)
+            correct = jnp.sum(jnp.argmax(logits, axis=1) == labels).astype(
+                jnp.float32
+            )
+            return carry, {"rec_loss": rec_loss, "ce_loss": ce, "n_correct": correct}
+
+        _, metrics = jax.lax.scan(body, None, perm)
+        return metrics
+
+    return (
+        jax.jit(train_epoch, donate_argnums=(0,)),
+        jax.jit(valid_epoch),
+    )
+
+
+def _checkpoint(run_dir: str, name: str, mods: PCAAModules, state: PCAAState, cfg: Config):
+    """Write the reference's per-module checkpoint files (SURVEY.md §1)."""
+    enc_vars = {
+        "params": state.params_g["encoder"],
+        "batch_stats": state.batch_stats["encoder"],
+    }
+    save_params(enc_vars, module_path(run_dir, name, "E"))
+    save_params(
+        {"params": state.params_d["discriminator"]}, module_path(run_dir, name, "D")
+    )
+    if mods.decoder is not None:
+        save_params(
+            {"params": state.params_g["decoder"]}, module_path(run_dir, name, "G")
+        )
+    if mods.dec_head is not None:
+        save_params(
+            {"params": state.params_g["dec_head"]}, module_path(run_dir, name, "GPH")
+        )
+    if mods.disc_head is not None:
+        save_params(
+            {"params": state.params_d["disc_head"]}, module_path(run_dir, name, "DPH")
+        )
+    if mods.mean_learner is not None:
+        save_params(
+            {
+                "params": state.ml_params,
+                "batch_stats": state.batch_stats["mean_learner"],
+            },
+            module_path(run_dir, name, "ML"),
+        )
+        # "Learned" centroids: train-mode BN on the identity one-hot batch
+        # under no-grad (reference PCAA_ablation.py:369-376).
+        oh = jnp.eye(cfg.n_classes, dtype=jnp.float32)
+        means, _ = mods.mean_learner.apply(
+            {
+                "params": state.ml_params,
+                "batch_stats": state.batch_stats["mean_learner"],
+            },
+            oh,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        save_array(means, os.path.join(run_dir, "discriminator_means.npy"))
+
+
+def train_pcaa(
+    cfg: Config,
+    variation: VARIATION = VARIATION.V4,
+    *,
+    proj_head_on_discriminator: bool = False,
+    wandb_mode: str = "disabled",
+    datasets: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Train one PCAA run end-to-end; writes the run folder and returns
+    final metrics (incl. throughput).
+
+    :param datasets: optional pre-loaded ``(x_train, y_train, x_valid,
+        y_valid)`` override (used by tests / the grid runner); otherwise
+        loaded from ``cfg.GEN_DATA_PATH``.
+    """
+    spec = VARIANTS[variation]
+    if variation == VARIATION.V4 and proj_head_on_discriminator:
+        spec = dataclasses.replace(spec, use_disc_head=True)
+
+    run_dir = cfg.run_dir()
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    name = cfg.MODEL_NAME
+
+    if datasets is None:
+        ds_train = RadarCropDataset(
+            SPLIT.TRAIN, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+        )
+        ds_valid = RadarCropDataset(
+            SPLIT.VALID, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+        )
+        x_train, y_train = ds_train.load_all()
+        x_valid, y_valid = ds_valid.load_all()
+    else:
+        x_train, y_train, x_valid, y_valid = datasets
+
+    x_train = jnp.asarray(x_train)
+    y_train = jnp.asarray(y_train)
+    x_valid = jnp.asarray(x_valid)
+    y_valid = jnp.asarray(y_valid)
+
+    key = jax.random.PRNGKey(cfg.SEED)
+    mods, state = build_pcaa(cfg, spec, key)
+
+    if not spec.learned_centroids:
+        save_array(
+            state.centroids, os.path.join(run_dir, "discriminator_means.npy")
+        )
+
+    train_epoch, valid_epoch = make_epoch_fns(mods, cfg)
+    logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
+    host_rng = np.random.default_rng(cfg.SEED)
+
+    best_valid_acc = 0.0
+    n_train = x_train.shape[0]
+    n_windows_epoch = (n_train // cfg.BATCH_SIZE) * cfg.BATCH_SIZE
+    t_start = time.time()
+    total_windows = 0
+    out: Dict[str, float] = {}
+
+    valid_steps = x_valid.shape[0] // cfg.BATCH_SIZE
+    valid_perm = jnp.asarray(
+        np.arange(valid_steps * cfg.BATCH_SIZE).reshape(valid_steps, cfg.BATCH_SIZE)
+    )
+
+    for epoch in range(cfg.EPOCHS):
+        order = host_rng.permutation(n_train)
+        steps = n_train // cfg.BATCH_SIZE
+        perm = jnp.asarray(
+            order[: steps * cfg.BATCH_SIZE].reshape(steps, cfg.BATCH_SIZE).astype(
+                np.int32
+            )
+        )
+        state, m = train_epoch(state, x_train, y_train, perm)
+        vm = valid_epoch(state, x_valid, y_valid, valid_perm)
+        m = jax.device_get(m)
+        vm = jax.device_get(vm)
+        total_windows += n_windows_epoch
+
+        train_acc = float(np.sum(m["n_correct"]) / (steps * cfg.BATCH_SIZE))
+        valid_acc = float(
+            np.sum(vm["n_correct"]) / (valid_steps * cfg.BATCH_SIZE)
+        )
+        epoch_metrics = {
+            # reference wandb keys (train_AAE.py:326-337)
+            "Reconstruction Loss Train": float(np.mean(m["rec_loss"])),
+            "Reconstruction Loss Valid": float(np.mean(vm["rec_loss"])),
+            "Cross Entropy Loss Train": float(np.mean(m["sup_loss"])),
+            "Cross Entropy Loss Valid": float(np.mean(vm["ce_loss"])),
+            "Discriminator Loss": float(np.mean(m["d_loss"])),
+            "Total Loss Train": float(np.mean(m["tot_loss"])),
+            "Train Accuracy": train_acc,
+            "Valid Accuracy": valid_acc,
+        }
+        logger.log(epoch_metrics, step=epoch)
+        if verbose:
+            print(
+                f"[{name}] epoch {epoch + 1}/{cfg.EPOCHS} "
+                f"rec={epoch_metrics['Reconstruction Loss Train']:.4f} "
+                f"d={epoch_metrics['Discriminator Loss']:.4f} "
+                f"ce={epoch_metrics['Cross Entropy Loss Train']:.4f} "
+                f"acc={train_acc:.3f} vacc={valid_acc:.3f}"
+            )
+
+        # best-by-valid-accuracy checkpoint every CHECKPOINT_FREQUENCY epochs
+        # (reference PCAA_ablation.py:1087-1119, epoch 0 included).
+        if epoch % cfg.CHECKPOINT_FREQUENCY == 0 and valid_acc > best_valid_acc:
+            best_valid_acc = valid_acc
+            _checkpoint(run_dir, name, mods, state, cfg)
+
+        out = dict(epoch_metrics)
+
+    elapsed = time.time() - t_start
+    out["windows_per_sec"] = total_windows / max(elapsed, 1e-9)
+    out["best_valid_accuracy"] = best_valid_acc
+    logger.finish()
+
+    # Guarantee a complete run folder even if no epoch improved validation
+    # accuracy at a checkpoint boundary.
+    if best_valid_acc == 0.0:
+        _checkpoint(run_dir, name, mods, state, cfg)
+    return out

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""PCAA ablation grid: openness levels × splits × variants 1–4.
+
+Reference oracle: the ``__main__`` driver of ``PCAA_ablation.py:1125-1192``
+— for each n_train ∈ {2,4,6,8}, draw 5 unique random class subsets (rng seed
+0, uniqueness-checked), regenerate splits, then train every variant; run
+names ``<base>V{v}.{n_tr}.{i}``.
+
+Unlike the reference (edit-the-source configuration, ``readme.md:37``) this
+is a CLI; unlike its mutable shared CONFIG dict, every run gets an immutable
+``Config`` snapshot.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from opensetgaitrecognition_pcaa_tpu.config import (
+    N_SUBJECTS,
+    VARIATION,
+    default_config,
+)
+from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
+from opensetgaitrecognition_pcaa_tpu.ops import openness
+from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+
+
+def unique_class_subsets(n_tr: int, n_tests: int, rng: np.random.Generator):
+    """5 unique sorted random subsets (reference ``PCAA_ablation.py:1140-1150``)."""
+    chosen = []
+    while len(chosen) < n_tests:
+        subset = sorted(rng.choice(N_SUBJECTS, n_tr, replace=False).tolist())
+        if subset not in chosen:
+            chosen.append(subset)
+    return chosen
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", required=True, help="raw tracks root")
+    p.add_argument("--gen-data-path", default="data/generated_dataset")
+    p.add_argument("--models-path", default="models")
+    p.add_argument("--model-name-base", default="PCAA_Abl2_")
+    p.add_argument("--n-training-classes", type=int, nargs="+", default=[2, 4, 6, 8])
+    p.add_argument("--n-tests", type=int, default=5)
+    p.add_argument("--variants", nargs="+", default=["V1", "V2", "V3", "V4"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--wandb-mode", default="disabled")
+    args = p.parse_args()
+
+    base_cfg = default_config(
+        DATA_PATH=args.data_path,
+        GEN_DATA_PATH=args.gen_data_path,
+        MODELS_PATH=args.models_path,
+    )
+    if args.epochs:
+        base_cfg = base_cfg.replace(EPOCHS=args.epochs)
+
+    rng = np.random.default_rng(0)  # splits_seed = 0 (PCAA_ablation.py:1132)
+    for n_tr in args.n_training_classes:
+        for i, train_classes in enumerate(
+            unique_class_subsets(n_tr, args.n_tests, rng)
+        ):
+            cfg = base_cfg.replace(
+                TRAIN_CLASSES=tuple(train_classes),
+                Openness=openness(n_tr, N_SUBJECTS),
+            )
+            generate_splits(
+                data_path=cfg.DATA_PATH,
+                gen_data_path=cfg.GEN_DATA_PATH,
+                train_classes=train_classes,
+                seed=0,
+                nmax_points=cfg.NMAX,
+                nsteps=cfg.NSTEPS,
+                crop_step=cfg.CROP_STEP,
+            )
+            for v in args.variants:
+                variation = VARIATION(v)
+                name = f"{args.model_name_base}{v}.{n_tr}.{i + 1}"
+                run_cfg = cfg.replace(
+                    MODEL_NAME=name, NOTES=f"Ablation run, Variant {v[-1]}"
+                )
+                print(f"=== training {name} ===")
+                out = train_pcaa(
+                    run_cfg, variation, wandb_mode=args.wandb_mode
+                )
+                print(
+                    f"{name}: best_valid_acc={out['best_valid_accuracy']:.4f} "
+                    f"windows/s={out['windows_per_sec']:.1f}"
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Inference tests: open-set procedures end-to-end over a trained run folder.
+
+Covers SURVEY.md §4.3's integration contract: inference consumes a run
+folder and produces JSON metrics with the right keys, preds/labels npy, and
+a confusion-matrix PNG — via the reference's exact filename patterns.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from opensetgaitrecognition_pcaa_tpu.config import SCENARIO, SPLIT, VARIATION, Config
+from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.infer import orced_inference, pcaa_inference
+from opensetgaitrecognition_pcaa_tpu.infer.orced import orced_ensemble_ood_detection
+from opensetgaitrecognition_pcaa_tpu.train import train_orced, train_pcaa
+
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def arrays(generated_splits):
+    gen, _ = generated_splits
+    x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
+    x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
+    return x_t, y_t, x_v, y_v
+
+
+@pytest.fixture(scope="module")
+def trained_v4(generated_splits, tmp_path_factory, arrays):
+    gen, _ = generated_splits
+    tmp = tmp_path_factory.mktemp("inf_v4")
+    cfg = tiny_config(gen, tmp, "INF_V4.3.1", EPOCHS=2)
+    train_pcaa(cfg, VARIATION.V4, datasets=arrays, verbose=False)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained_orced(generated_splits, tmp_path_factory, arrays):
+    gen, _ = generated_splits
+    tmp = tmp_path_factory.mktemp("inf_orced")
+    cfg = tiny_config(gen, tmp, "INF_ORCED.3.1", EPOCHS=2)
+    train_orced(cfg, datasets=arrays, verbose=False)
+    return cfg
+
+
+class TestPCAAInference:
+    def test_end_to_end_artifacts(self, trained_v4):
+        cfg = trained_v4
+        logs = pcaa_inference(
+            ["INF_V4.3.1"],
+            ks=[1, 2],
+            models_path=cfg.MODELS_PATH,
+            figures_path=cfg.FIGURES_PATH,
+            generate_dataset=False,  # splits already on disk
+        )
+        run_dir = cfg.run_dir()
+        for k in (1, 2):
+            with open(os.path.join(run_dir, f"naive_seq_log_{k}.json")) as f:
+                log = json.load(f)
+            assert set(log) == {
+                "n_steps",
+                "accuracy",
+                "f1_micro",
+                "f1_macro",
+                "f1_weighted",
+            }
+            assert 0.0 <= log["accuracy"] <= 1.0
+            preds = np.load(os.path.join(run_dir, f"final_preds_{k}.npy"))
+            labels = np.load(os.path.join(run_dir, f"final_labels_{k}.npy"))
+            assert len(preds) == len(labels) > 0
+            # open-set label space: classes 0..n-1 plus "unknown" = n
+            assert set(np.unique(labels)) <= set(range(cfg.n_classes + 1))
+            assert set(np.unique(preds)) <= set(range(cfg.n_classes + 1))
+            png = os.path.join(
+                cfg.FIGURES_PATH,
+                "INF_V4.3.1",
+                f"openset_confusion_matrix_naive_seq_{k}.png",
+            )
+            assert os.path.exists(png) and os.path.getsize(png) > 0
+        # aggregate json (inference_PCAA.py:466-469)
+        agg = os.path.join(run_dir, "naive_seq_log_subsampled0.json")
+        with open(agg) as f:
+            agg_log = json.load(f)
+        assert set(agg_log) == {"1", "2"} or set(agg_log) == {1, 2}
+        assert logs["INF_V4.3.1"][1]["f1_micro"] >= 0
+
+    def test_unknown_windows_present(self, trained_v4):
+        # The unseen split feeds windows labelled n_classes.
+        cfg = trained_v4
+        labels = np.load(os.path.join(cfg.run_dir(), "final_labels_1.npy"))
+        assert (labels == cfg.n_classes).sum() > 0
+        assert (labels < cfg.n_classes).sum() > 0
+
+    def test_scenario_restricted(self, trained_v4):
+        cfg = trained_v4
+        pcaa_inference(
+            ["INF_V4.3.1"],
+            ks=[1],
+            models_path=cfg.MODELS_PATH,
+            figures_path=cfg.FIGURES_PATH,
+            scenarios_list=[SCENARIO.FREE_WALK],
+            generate_dataset=False,
+        )
+        f = os.path.join(
+            cfg.run_dir(), "naive_seq_log_1_scenariosfree_walk.json"
+        )
+        assert os.path.exists(f)
+
+
+class TestORCEDInference:
+    def test_end_to_end(self, trained_orced):
+        cfg = trained_orced
+        results = orced_inference(
+            ["INF_ORCED.3.1"],
+            models_path=cfg.MODELS_PATH,
+            figures_path=cfg.FIGURES_PATH,
+            generate_dataset=False,
+            batch_size=16,
+        )
+        m = results["INF_ORCED.3.1"]
+        assert set(m) == {"accuracy", "f1_micro", "f1_macro", "f1_weighted"}
+        fig_dir = os.path.join(cfg.FIGURES_PATH, "INF_ORCED.3.1")
+        assert os.path.exists(
+            os.path.join(fig_dir, "openset_cnfmtrx_ensemble_ood_fixed.png")
+        )
+        preds = np.load(
+            os.path.join(fig_dir, "ensemble_ood_final_preds_fixed.npy")
+        )
+        labels = np.load(
+            os.path.join(fig_dir, "ensemble_ood_final_labels_fixed.npy")
+        )
+        assert len(preds) == len(labels) > 0
+        assert (labels == cfg.n_classes).sum() > 0
+
+
+class TestEnsembleOOD:
+    def test_rejects_far_latents(self):
+        rng = np.random.default_rng(0)
+        d, n_tr = 8, 300
+        gt = rng.integers(0, 3, n_tr)
+        f_tr = rng.normal(size=(n_tr, d)) * 0.3 + gt[:, None] * 5.0
+        re_tr = np.abs(rng.normal(1.0, 0.1, n_tr))
+        # test: one in-distribution sample per class + one far outlier
+        z_test = np.concatenate(
+            [np.full((1, d), 0.0), np.full((1, d), 5.0), np.full((1, d), 100.0)]
+        )
+        re_test = np.array([1.0, 1.0, 1.0])
+        preds = np.array([0, 1, 2])
+        out = orced_ensemble_ood_detection(
+            re_tr, f_tr, 0.95, gt, gt, preds, z_test, re_test
+        )
+        assert out[2] == 3  # far latent rejected as unknown
+        assert out[0] in (0, 3) and out[1] in (1, 3)
+        assert out[0] == 0 and out[1] == 1  # in-distribution kept
+
+    def test_rejects_high_rec_error(self):
+        rng = np.random.default_rng(1)
+        d, n_tr = 4, 200
+        gt = rng.integers(0, 2, n_tr)
+        f_tr = rng.normal(size=(n_tr, d)) + gt[:, None] * 3.0
+        re_tr = np.abs(rng.normal(1.0, 0.05, n_tr))
+        z_test = f_tr[:1]
+        out = orced_ensemble_ood_detection(
+            re_tr, f_tr, 0.95, gt, gt, np.array([gt[0]]), z_test,
+            np.array([10.0]),  # rec error way above μ+2σ
+        )
+        assert out[0] == 2
