@@ -113,6 +113,10 @@ class Config:
     Openness: Optional[float] = None
 
     # Framework-only knobs (no reference equivalent).
+    # Matmul/conv compute precision: "float32" (reference-exact numerics) or
+    # "bfloat16" (2x MXU throughput; params, accumulation and BatchNorm
+    # statistics stay float32).
+    COMPUTE_DTYPE: str = "float32"
     SEED: int = 0
     DATA_PATH: str = os.path.join("data", "raw_tracks")
     GEN_DATA_PATH: str = os.path.join("data", "generated_dataset")

@@ -1,0 +1,119 @@
+"""Fused eval-mode CGEncoder forward for the inference hot path.
+
+In eval mode every BatchNorm in the encoder is a per-channel affine with
+frozen running stats, so the whole forward folds into:
+
+    Pallas fused PointNet+pool  (ops/pallas/pointnet_infer.py)
+    → 6 × (causal dilated conv, BN folded into kernel/bias, ELU)
+    → mean over time
+    → dense+ELU (+ projection head) → dense+ELU logits
+
+This path reads the same flax variable tree the checkpoints store, matches
+``CGEncoder.apply(..., train=False)`` to float tolerance (tested in
+``tests/test_pallas.py``/``tests/test_infer.py``), and avoids materializing
+the ``(B, T, N, D)`` per-point activations in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from opensetgaitrecognition_pcaa_tpu.ops.pallas.pointnet_infer import (
+    fold_batchnorm,
+    folded_pointnet_params,
+    pointnet_pool_infer,
+)
+
+
+def _folded_tcn_layer(layer_params: Dict, eps: float = 1e-5):
+    """Fold a CausalDilatedConv1d's BN into its conv kernel/bias."""
+    conv = layer_params["Conv_0"]
+    bn = layer_params["TorchBatchNorm_0"]
+    return conv["kernel"], conv["bias"], bn
+
+
+def fused_encoder_apply(
+    enc_vars: Dict,
+    x: jnp.ndarray,
+    *,
+    dilations=(1, 2, 4, 1, 2, 4),
+    use_projection_head: bool,
+    use_pallas: bool = True,
+):
+    """Eval-mode CGEncoder forward → (logits, sup_fv).
+
+    :param enc_vars: ``{"params": ..., "batch_stats": ...}`` as stored in
+        ``<NAME>_E.msgpack``.
+    :param use_pallas: route the PointNet stack through the fused kernel
+        (set False on hosts without a TPU/interpreter).
+    """
+    params = enc_vars["params"]
+    stats = enc_vars["batch_stats"]
+    bb_p = params["GaitBackbone_0"]
+    bb_s = stats["GaitBackbone_0"]
+
+    # --- PointNet + point pooling -------------------------------------
+    folded_pn = folded_pointnet_params(
+        bb_p["PointNetBlock_0"], bb_s["PointNetBlock_0"]
+    )
+    if use_pallas:
+        h = pointnet_pool_infer(x, folded_pn)  # (B, T, D)
+    else:
+        hh = x.astype(jnp.float32)
+        for i in range(1, 5):
+            hh = jax.nn.elu(
+                jnp.einsum(
+                    "btnc,cd->btnd",
+                    hh,
+                    folded_pn[f"w{i}"],
+                    preferred_element_type=jnp.float32,
+                )
+                + folded_pn[f"b{i}"]
+            )
+        h = jnp.mean(hh, axis=2)
+
+    # --- causal dilated TCN with folded BN ------------------------------
+    tcb_p = bb_p["TemporalConvBlock_0"]
+    tcb_s = stats["GaitBackbone_0"]["TemporalConvBlock_0"]
+    for i, dilation in enumerate(dilations):
+        layer = tcb_p[f"CausalDilatedConv1d_{i}"]
+        bn = layer[f"TorchBatchNorm_0"]
+        st = tcb_s[f"CausalDilatedConv1d_{i}"]["TorchBatchNorm_0"]
+        kernel = layer["Conv_0"]["kernel"]  # (k, in, out)
+        k = kernel.shape[0]
+        folded_k, folded_b = fold_batchnorm(
+            kernel.reshape(-1, kernel.shape[-1]),
+            layer["Conv_0"]["bias"],
+            bn["scale"],
+            bn["bias"],
+            st["mean"],
+            st["var"],
+        )
+        folded_k = folded_k.reshape(kernel.shape)
+        pad = (k - 1) * dilation
+        hp = jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
+        h = jax.lax.conv_general_dilated(
+            hp,
+            folded_k,
+            window_strides=(1,),
+            padding="VALID",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        h = jax.nn.elu(h + folded_b)
+
+    feats = jnp.mean(h, axis=1)  # (B, filters[-1])
+
+    # --- heads -----------------------------------------------------------
+    sup1 = params["MLP_sup1"]
+    sup_fv = jax.nn.elu(feats @ sup1["kernel"] + sup1["bias"])
+    hh = sup_fv
+    if use_projection_head:
+        head = params["MLP_head"]
+        hh = jax.nn.elu(hh @ head["kernel"] + head["bias"])
+    sup2 = params["MLP_sup2"]
+    logits = jax.nn.elu(hh @ sup2["kernel"] + sup2["bias"])
+    return logits, sup_fv

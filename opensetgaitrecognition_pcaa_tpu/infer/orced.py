@@ -134,6 +134,7 @@ def orced_inference_setup(
         n_out_labels=cfg.n_classes,
         sup_latent_dim=cfg.SUP_LATENT_DIM,
         pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+        dtc_filters=tuple(cfg.DTC_FILTERS),
     )
     decoder = ORCEDDecoder(
         nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES

@@ -96,6 +96,7 @@ def pcaa_inference_setup(
         n_out_labels=cfg.n_classes,
         sup_latent_dim=cfg.SUP_LATENT_DIM,
         pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+        dtc_filters=tuple(cfg.DTC_FILTERS),
         use_projection_head=use_head,
     )
     enc_vars = load_params(module_path(run_dir, model_name, "E"))
@@ -104,11 +105,29 @@ def pcaa_inference_setup(
 
 
 def _encode_split(encoder, enc_vars, dataset: RadarCropDataset, batch_size=256):
-    """→ (latents (n, d), argmax predictions (n,)) for a whole split."""
+    """→ (latents (n, d), argmax predictions (n,)) for a whole split.
+
+    On TPU the forward routes through the fused Pallas eval encoder
+    (``infer/fast_encoder.py``); the flax apply is the CPU fallback — both
+    are float-tolerance identical (tested).
+    """
+    from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
+        fused_encoder_apply,
+    )
+
     x, _ = dataset.load_all()
+    on_tpu = jax.devices()[0].platform != "cpu"
 
     def fwd(chunk):
-        logits, fv = encoder.apply(enc_vars, chunk, train=False)
+        if on_tpu:
+            logits, fv = fused_encoder_apply(
+                enc_vars,
+                chunk,
+                use_projection_head=encoder.use_projection_head,
+                use_pallas=True,
+            )
+        else:
+            logits, fv = encoder.apply(enc_vars, chunk, train=False)
         return fv, logits.argmax(axis=1)
 
     fvs, preds = batched_apply(fwd, x, batch_size)

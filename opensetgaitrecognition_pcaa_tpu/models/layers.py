@@ -14,6 +14,11 @@ TPU design notes:
   TPU-friendlier form: left-pad the time axis by ``(k-1)·dilation`` and run a
   VALID dilated conv — static shapes, no wasted compute on dropped outputs.
 
+- Every layer takes a ``dtype`` (compute precision): parameters and
+  BatchNorm statistics stay float32; matmul/conv operands are cast to
+  ``dtype`` (bfloat16 doubles MXU throughput) with float32 accumulation via
+  ``preferred_element_type``. Default float32 = reference-exact numerics.
+
 Initializers follow torch defaults (kaiming-uniform with a=√5 ⇒
 U(±1/√fan_in) for both kernel and bias) so training dynamics match the
 reference even though RNG streams differ.
@@ -21,12 +26,15 @@ reference even though RNG streams differ.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from opensetgaitrecognition_pcaa_tpu.models.norm import TorchBatchNorm
+
+Dtype = Any
 
 
 def torch_linear_init(fan_in: int):
@@ -34,8 +42,6 @@ def torch_linear_init(fan_in: int):
     bound = 1.0 / (fan_in**0.5)
 
     def init(key, shape, dtype=jnp.float32):
-        import jax
-
         return jax.random.uniform(
             key, shape, dtype, minval=-bound, maxval=bound
         )
@@ -44,9 +50,10 @@ def torch_linear_init(fan_in: int):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch-default init (bias included)."""
+    """Dense layer with torch-default init; f32 params, ``dtype`` compute."""
 
     features: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,9 +62,14 @@ class TorchDense(nn.Module):
         kernel = self.param("kernel", init, (fan_in, self.features))
         bias = self.param("bias", init, (self.features,))
         y = jnp.einsum(
-            "...i,io->...o", x, kernel, preferred_element_type=jnp.float32
+            "...i,io->...o",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         )
-        return y + bias
+        # Activations are carried in the compute dtype (bf16 mode keeps the
+        # big per-point tensors half-width in HBM); accumulation above is f32.
+        return (y + bias).astype(self.dtype)
 
 
 class PointNetBlock(nn.Module):
@@ -71,12 +83,13 @@ class PointNetBlock(nn.Module):
     """
 
     out_dim: int = 1024
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         widths = (self.out_dim // 2, self.out_dim // 2, self.out_dim, self.out_dim)
         for w in widths:
-            x = TorchDense(w)(x)
+            x = TorchDense(w, dtype=self.dtype)(x)
             x = TorchBatchNorm()(x, use_running_average=not train)
             x = nn.elu(x)
         return x
@@ -93,6 +106,7 @@ class CausalDilatedConv1d(nn.Module):
     features: int
     dilation: int
     kernel_size: int = 3
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -107,6 +121,8 @@ class CausalDilatedConv1d(nn.Module):
             padding="VALID",
             kernel_init=init,
             bias_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
         x = TorchBatchNorm()(x, use_running_average=not train)
         return nn.elu(x)
@@ -121,11 +137,14 @@ class TemporalConvBlock(nn.Module):
 
     filters: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     dilations: Tuple[int, ...] = (1, 2, 4, 1, 2, 4)
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         for f, d in zip(self.filters, self.dilations):
-            x = CausalDilatedConv1d(features=f, dilation=d)(x, train)
+            x = CausalDilatedConv1d(features=f, dilation=d, dtype=self.dtype)(
+                x, train
+            )
         return x
 
 
@@ -141,10 +160,12 @@ class GaitBackbone(nn.Module):
 
     pointnet_out_dim: int = 1024
     filters: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = PointNetBlock(self.pointnet_out_dim)(x, train)
-        x = jnp.mean(x, axis=2)  # pool over points → (B, T, D)
-        x = TemporalConvBlock(self.filters)(x, train)
-        return jnp.mean(x, axis=1)  # pool over time → (B, filters[-1])
+        x = PointNetBlock(self.pointnet_out_dim, dtype=self.dtype)(x, train)
+        # pool over points in f32 (4500-point mean in bf16 loses precision)
+        x = jnp.mean(x.astype(jnp.float32), axis=2)  # (B, T, D)
+        x = TemporalConvBlock(self.filters, dtype=self.dtype)(x, train)
+        return jnp.mean(x.astype(jnp.float32), axis=1)  # (B, filters[-1])

@@ -38,6 +38,10 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
+        # Statistics always in float32; the normalized output keeps the
+        # input dtype (bf16 in → bf16 out halves HBM traffic on the huge
+        # per-point activations while stats/params stay exact).
+        xf = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -45,8 +49,8 @@ class TorchBatchNorm(nn.Module):
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean((x - mean) ** 2, axis=reduce_axes)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean((xf - mean) ** 2, axis=reduce_axes)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
@@ -54,4 +58,5 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
-        return (x - mean) * (inv * scale) + bias
+        out = (xf - mean) * (inv * scale) + bias
+        return out.astype(x.dtype)

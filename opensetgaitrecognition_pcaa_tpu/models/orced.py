@@ -12,6 +12,8 @@ an explicit ``'reparam'`` PRNG stream.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,10 +25,14 @@ class ORCEDEncoder(nn.Module):
     n_out_labels: int
     sup_latent_dim: int = 32
     pointnet_out_dim: int = 1024
+    dtc_filters: tuple = (16, 32, 64, 128, 256, 512)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        feats = GaitBackbone(self.pointnet_out_dim)(x, train)
+        feats = GaitBackbone(
+            self.pointnet_out_dim, self.dtc_filters, dtype=self.dtype
+        )(x, train)
         mu = TorchDense(self.sup_latent_dim, name="MLP_mu")(feats)
         logvar = TorchDense(self.sup_latent_dim, name="MLP_logvar")(feats)
         eps = jax.random.normal(self.make_rng("reparam"), logvar.shape)
@@ -42,11 +48,15 @@ class ORCEDDecoder(nn.Module):
     nsteps: int = 30
     nmax_points: int = 150
     nfeatures: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         size = self.nsteps * self.nfeatures * self.nmax_points
         for s in (size // 16, size // 8, size // 4, size // 2):
-            z = nn.elu(TorchDense(s)(z))
-        z = TorchDense(size)(z)
+            z = nn.elu(TorchDense(s, dtype=self.dtype)(z))
+        z = TorchDense(size, dtype=self.dtype)(z)
+        # reconstructions leave the decoder in f32 (Chamfer in bf16 loses
+        # precision in the min-reductions)
+        z = z.astype(jnp.float32)
         return z.reshape(z.shape[0], self.nsteps, self.nmax_points, self.nfeatures)

@@ -15,6 +15,8 @@ Preserved parity quirks (SURVEY.md §7.3):
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,11 +35,15 @@ class CGEncoder(nn.Module):
     n_out_labels: int
     sup_latent_dim: int = 32
     pointnet_out_dim: int = 1024
+    dtc_filters: tuple = (16, 32, 64, 128, 256, 512)
     use_projection_head: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        feats = GaitBackbone(self.pointnet_out_dim)(x, train)
+        feats = GaitBackbone(
+            self.pointnet_out_dim, self.dtc_filters, dtype=self.dtype
+        )(x, train)
         sup_fv = nn.elu(TorchDense(self.sup_latent_dim, name="MLP_sup1")(feats))
         h = sup_fv
         if self.use_projection_head:
@@ -62,13 +68,17 @@ class CGDecoder(nn.Module):
     nsteps: int = 30
     nmax_points: int = 150
     nfeatures: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         size = self.nsteps * self.nfeatures * self.nmax_points
         for s in (size // 16, size // 8, size // 4, size // 2):
-            z = nn.elu(TorchDense(s)(z))
-        z = TorchDense(size)(z)
+            z = nn.elu(TorchDense(s, dtype=self.dtype)(z))
+        z = TorchDense(size, dtype=self.dtype)(z)
+        # reconstructions leave the decoder in f32 (Chamfer in bf16 loses
+        # precision in the min-reductions)
+        z = z.astype(jnp.float32)
         return z.reshape(z.shape[0], self.nsteps, self.nmax_points, self.nfeatures)
 
 

@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: fused sequence-Chamfer distance.
+
+The XLA path (``ops/chamfer.py``) materializes the ``(B, T, N, M)`` pairwise
+distance tensor in HBM between the matmul and the min-reductions — 43 MB at
+reference shapes, growing quadratically with cloud size (the framework's
+production target allows N ≫ 150). This kernel fuses the distance matmul
+and both min-reductions per ``(b, t)`` frame entirely in VMEM: HBM traffic
+is just the two point clouds in and one scalar out per frame.
+
+Forward only, wrapped in ``jax.custom_vjp``: the backward recomputes the
+(argmin-hard) gradients with standard XLA ops — Chamfer's VJP needs the
+argmin picks, which are cheap to rebuild and would otherwise have to be
+stored. ``avg_out`` semantics match ``seq_chamfer`` (reference
+``utils.py:98-107``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chamfer_frame_kernel(x_ref, y_ref, out_ref):
+    """Per-(b,t) frame: bidirectional sum-of-min squared distances.
+
+    x_ref: (1, N, C) gt points; y_ref: (1, M, C) pred points; out_ref: (1, 1).
+    """
+    x = x_ref[0]
+    y = y_ref[0]
+    xx = jnp.sum(x * x, axis=1)[:, None]  # (N, 1)
+    yy = jnp.sum(y * y, axis=1)[None, :]  # (1, M)
+    xy = jax.lax.dot_general(
+        x,
+        y,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, M)
+    p = xx + yy - 2.0 * xy
+    loss_1 = jnp.sum(jnp.min(p, axis=0))  # min over gt per pred point
+    loss_2 = jnp.sum(jnp.min(p, axis=1))  # min over pred per gt point
+    out_ref[0, 0] = loss_1 + loss_2
+
+
+def _chamfer_frames(gts_flat: jnp.ndarray, preds_flat: jnp.ndarray) -> jnp.ndarray:
+    """→ (F,) per-frame chamfer sums for flattened (F, N, C) clouds."""
+    f, n, c = gts_flat.shape
+    m = preds_flat.shape[1]
+    out = pl.pallas_call(
+        _chamfer_frame_kernel,
+        grid=(f,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, 1), jnp.float32),
+    )(gts_flat, preds_flat)
+    return out[:, 0]
+
+
+def _forward(preds: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
+    b, t = gts.shape[0], gts.shape[1]
+    per_frame = _chamfer_frames(
+        gts.reshape((b * t,) + gts.shape[2:]).astype(jnp.float32),
+        preds.reshape((b * t,) + preds.shape[2:]).astype(jnp.float32),
+    )
+    return per_frame.reshape(b, t)
+
+
+@jax.custom_vjp
+def _chamfer_bt(preds, gts):
+    """(B, T) per-frame chamfer sums, Pallas forward / XLA backward."""
+    return _forward(preds, gts)
+
+
+def _chamfer_bt_fwd(preds, gts):
+    return _forward(preds, gts), (preds, gts)
+
+
+def _chamfer_bt_bwd(res, g):
+    preds, gts = res
+    # Recompute distances + argmins with XLA ops to form the exact VJP of
+    # min/sum: for each pred point j its nearest gt i* contributes
+    # 2(y_j − x_{i*}); for each gt point i its nearest pred j* contributes
+    # 2(x_i − y_{j*}) (and the mirrored terms for gts).
+    x = gts.astype(jnp.float32)
+    y = preds.astype(jnp.float32)
+    xx = jnp.sum(x * x, axis=-1)
+    yy = jnp.sum(y * y, axis=-1)
+    xy = jnp.einsum("btnc,btmc->btnm", x, y, preferred_element_type=jnp.float32)
+    p = xx[..., :, None] + yy[..., None, :] - 2.0 * xy  # (B,T,N,M)
+
+    n, m = x.shape[2], y.shape[2]
+    i_star = jnp.argmin(p, axis=2)  # (B,T,M) nearest gt per pred
+    j_star = jnp.argmin(p, axis=3)  # (B,T,N) nearest pred per gt
+
+    g = g[..., None, None]  # (B,T,1,1) broadcast over points and channels
+
+    x_near = jnp.take_along_axis(x, i_star[..., None], axis=2)  # (B,T,M,C)
+    y_near = jnp.take_along_axis(y, j_star[..., None], axis=2)  # (B,T,N,C)
+
+    # loss_1 terms (min over gt, summed over preds)
+    d_y_1 = 2.0 * (y - x_near) * g
+    # loss_2 terms (min over preds, summed over gts)
+    d_x_2 = 2.0 * (x - y_near) * g
+
+    # d loss_1 / d x: −2(y_j − x_{i*}) accumulated at i*
+    bt_shape = x.shape[:2]
+    d_x_1 = jnp.zeros_like(x)
+    d_x_1 = d_x_1.at[
+        jnp.arange(bt_shape[0])[:, None, None],
+        jnp.arange(bt_shape[1])[None, :, None],
+        i_star,
+    ].add(-d_y_1)
+    # d loss_2 / d y: −2(x_i − y_{j*}) accumulated at j*
+    d_y_2 = jnp.zeros_like(y)
+    d_y_2 = d_y_2.at[
+        jnp.arange(bt_shape[0])[:, None, None],
+        jnp.arange(bt_shape[1])[None, :, None],
+        j_star,
+    ].add(-d_x_2)
+
+    d_preds = (d_y_1 + d_y_2).astype(preds.dtype)
+    d_gts = (d_x_1 + d_x_2).astype(gts.dtype)
+    return d_preds, d_gts
+
+
+_chamfer_bt.defvjp(_chamfer_bt_fwd, _chamfer_bt_bwd)
+
+
+def seq_chamfer_pallas(
+    preds: jnp.ndarray, gts: jnp.ndarray, avg_out: bool = True
+) -> jnp.ndarray:
+    """Drop-in for ``ops.chamfer.seq_chamfer`` with the fused Pallas forward."""
+    total = _chamfer_bt(preds, gts)
+    if avg_out:
+        return jnp.mean(total)
+    return jnp.mean(total, axis=1)

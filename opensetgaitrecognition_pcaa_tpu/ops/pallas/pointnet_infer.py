@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: fused eval-mode PointNet stack + point pooling.
+
+The inference hot path runs the 4-layer per-point MLP (4→D/2→D/2→D→D) over
+every point of every frame and then mean-pools the point axis
+(``models.py:100-105,242-243``). In eval mode BatchNorm is a per-channel
+affine (running stats are constants), so each layer folds into a single
+``W', b'`` — the whole stack becomes 4 fused (matmul → affine-ELU) hops.
+
+This kernel keeps one frame's point matrix AND all four folded weight
+matrices resident in VMEM, computes the full chain, and writes only the
+pooled ``(1, D)`` row per frame. HBM traffic falls from
+``O(B·T·N·D)`` activations × layers (the XLA path materializes each layer)
+to ``B·T·N·C_in`` in + ``B·T·D`` out + the weights once.
+
+Used by the batched inference passes (SURVEY.md §5 "fuse per-point MLP over
+N points + masked mean-pooling into one Pallas kernel"); training mode
+(batch-stat BN) keeps the XLA path, whose inter-layer global reductions
+cannot fuse this way.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fold_batchnorm(
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    scale: jnp.ndarray,
+    bn_bias: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold eval-mode BatchNorm into the preceding dense layer.
+
+    ``BN(xW + b) = (xW + b − μ)·γ/√(σ²+ε) + β = x(W·s) + (b − μ)·s + β``
+    with ``s = γ/√(σ²+ε)``.
+    """
+    s = scale / jnp.sqrt(var + eps)
+    return kernel * s[None, :], (bias - mean) * s + bn_bias
+
+
+_FRAMES_PER_STEP = 8  # sublane-aligned output tile (8, D)
+
+
+def _elu(x: jnp.ndarray) -> jnp.ndarray:
+    """ELU without expm1 (unimplemented in the Mosaic TPU lowering)."""
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
+    """8 frames per step: (8, N, C) → pooled (8, D).
+
+    The 8 frames' points are flattened into one (8·N, C) row block so each
+    layer is a single MXU matmul; the per-frame mean is a reshape + axis
+    reduction at the end, all in VMEM.
+    """
+    frames, n, c = x_ref.shape
+    h = x_ref[:].reshape(frames * n, c)
+    for w, b in ((w1, b1), (w2, b2), (w3, b3), (w4, b4)):
+        h = jax.lax.dot_general(
+            h,
+            w[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = _elu(h + b[:])
+    out_ref[:] = jnp.mean(h.reshape(frames, n, -1), axis=1)
+
+
+def pointnet_pool_infer(
+    x: jnp.ndarray, folded: Dict[str, jnp.ndarray]
+) -> jnp.ndarray:
+    """Fused eval PointNet+pool: ``(B, T, N, C) → (B, T, D)``.
+
+    ``folded``: dict with ``w1..w4`` / ``b1..b4`` — BN-folded layer weights
+    (see :func:`fold_batchnorm`).
+    """
+    b, t, n, c = x.shape
+    d = folded["w4"].shape[1]
+    f = b * t
+    fps = _FRAMES_PER_STEP
+    f_pad = -(-f // fps) * fps
+    xf = x.reshape(f, n, c).astype(jnp.float32)
+    if f_pad != f:
+        xf = jnp.concatenate(
+            [xf, jnp.zeros((f_pad - f, n, c), jnp.float32)], axis=0
+        )
+
+    weight_specs = []
+    weight_args = []
+    for i in range(1, 5):
+        w = folded[f"w{i}"].astype(jnp.float32)
+        bb = folded[f"b{i}"].astype(jnp.float32).reshape(1, -1)
+        weight_specs += [
+            pl.BlockSpec(w.shape, lambda i_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bb.shape, lambda i_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        weight_args += [w, bb]
+
+    out = pl.pallas_call(
+        _pointnet_kernel,
+        grid=(f_pad // fps,),
+        in_specs=[
+            pl.BlockSpec(
+                (fps, n, c), lambda i_: (i_, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + weight_specs,
+        out_specs=pl.BlockSpec(
+            (fps, d), lambda i_: (i_, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
+    )(xf, *weight_args)
+    return out[:f].reshape(b, t, d)
+
+
+def folded_pointnet_params(pn_params: Dict, pn_stats: Dict) -> Dict[str, jnp.ndarray]:
+    """Fold a PointNetBlock's flax variables into kernel weights.
+
+    ``pn_params``/``pn_stats``: the ``PointNetBlock_0`` subtrees of the
+    encoder's params / batch_stats collections.
+    """
+    out = {}
+    for i in range(4):
+        dense = pn_params[f"TorchDense_{i}"]
+        bn = pn_params[f"TorchBatchNorm_{i}"]
+        stats = pn_stats[f"TorchBatchNorm_{i}"]
+        w, b = fold_batchnorm(
+            dense["kernel"],
+            dense["bias"],
+            bn["scale"],
+            bn["bias"],
+            stats["mean"],
+            stats["var"],
+        )
+        out[f"w{i + 1}"] = w
+        out[f"b{i + 1}"] = b
+    return out

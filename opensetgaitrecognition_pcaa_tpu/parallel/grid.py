@@ -1,0 +1,248 @@
+"""Run-level ("grid") parallelism: train many independent runs at once.
+
+The reference's experiment grids are sequential for-loops over 20–120 small
+independent trainings (``PCAA_ablation.py:1128-1191``,
+``train_pointsubsampling.py:22-23``). On TPU the idiomatic replacement is to
+**vmap the whole train step over a run axis** and shard that axis across the
+device mesh — R runs advance in lockstep, one jitted scan per epoch, perfect
+scaling because runs never communicate (SURVEY.md §2.2).
+
+Mechanics:
+- every run must share static shapes (same n_classes / NMAX / batch size —
+  true within one openness level of the grid);
+- per-run datasets are padded to a common length; each run's epoch
+  permutation indexes only its own real samples, and runs whose epoch is
+  shorter (fewer batches) are masked out for the trailing steps, so each run
+  sees *exactly* the reference's schedule: every sample once per epoch,
+  drop_last, its own shuffle stream;
+- the run axis is sharded over the mesh's ``data`` axis (``P('data')``), so
+  R runs on D devices cost ~R/D the wall-clock of a sequential grid.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opensetgaitrecognition_pcaa_tpu.config import VARIATION, Config
+from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+    VARIANTS,
+    build_pcaa,
+    make_train_step,
+)
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _unstack_state(states, r: int):
+    return jax.tree_util.tree_map(lambda x: x[r], states)
+
+
+def pad_datasets(
+    datasets: Sequence[Tuple[np.ndarray, np.ndarray]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad per-run (x, y) to a common length by repeating row 0.
+
+    Padding rows are never selected by the per-run permutations, so they are
+    inert. Returns ``(x (R, n_max, ...), y (R, n_max), n_real (R,))``.
+    """
+    n_max = max(x.shape[0] for x, _ in datasets)
+    xs, ys, ns = [], [], []
+    for x, y in datasets:
+        pad = n_max - x.shape[0]
+        xs.append(
+            np.concatenate([x, np.repeat(x[:1], pad, axis=0)], axis=0)
+            if pad
+            else x
+        )
+        ys.append(
+            np.concatenate([y, np.repeat(y[:1], pad, axis=0)], axis=0)
+            if pad
+            else y
+        )
+        ns.append(x.shape[0])
+    return np.stack(xs), np.stack(ys), np.array(ns, dtype=np.int32)
+
+
+class GridPCAATrainer:
+    """Lockstep trainer for R same-shape PCAA runs.
+
+    Usage::
+
+        trainer = GridPCAATrainer(cfgs, VARIATION.V4, train_sets, valid_sets)
+        for epoch in range(cfgs[0].EPOCHS):
+            metrics = trainer.run_epoch(epoch)   # dict of (R,) arrays
+        states = trainer.per_run_states()        # for checkpointing
+
+    ``cfgs`` may differ in TRAIN_CLASSES/SEED/MODEL_NAME but must agree on
+    every shape-bearing field (asserted).
+    """
+
+    def __init__(
+        self,
+        cfgs: Sequence[Config],
+        variation: VARIATION,
+        train_sets: Sequence[Tuple[np.ndarray, np.ndarray]],
+        valid_sets: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
+        mesh=None,
+    ):
+        assert len(cfgs) == len(train_sets) >= 1
+        shape_fields = (
+            "NMAX",
+            "NSTEPS",
+            "NFEATURES",
+            "POINTNET_OUT_DIM",
+            "DTC_FILTERS",
+            "SUP_LATENT_DIM",
+            "BATCH_SIZE",
+        )
+        for f in shape_fields:
+            assert len({getattr(c, f) for c in cfgs}) == 1, f"mismatched {f}"
+        assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
+
+        self.cfgs = list(cfgs)
+        self.cfg = cfgs[0]
+        self.R = len(cfgs)
+        spec = VARIANTS[variation]
+
+        states = []
+        for c in cfgs:
+            mods, st = build_pcaa(c, spec, jax.random.PRNGKey(c.SEED))
+            states.append(st)
+        self.mods = mods  # identical module defs across runs
+        self.states = _stack_states(states)
+
+        self.x, self.y, self.n_real = pad_datasets(train_sets)
+        self.x = jnp.asarray(self.x)
+        self.y = jnp.asarray(self.y)
+        if valid_sets is not None:
+            self.xv, self.yv, self.nv_real = pad_datasets(valid_sets)
+            self.xv = jnp.asarray(self.xv)
+            self.yv = jnp.asarray(self.yv)
+        else:
+            self.xv = None
+
+        self._host_rngs = [np.random.default_rng(c.SEED) for c in cfgs]
+        self._steps_per_run = self.n_real // self.cfg.BATCH_SIZE
+        self._max_steps = int(self._steps_per_run.max())
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            run_sh = NamedSharding(mesh, P("data"))
+            self.states = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, run_sh), self.states
+            )
+            self.x = jax.device_put(self.x, run_sh)
+            self.y = jax.device_put(self.y, run_sh)
+            if self.xv is not None:
+                self.xv = jax.device_put(self.xv, run_sh)
+                self.yv = jax.device_put(self.yv, run_sh)
+
+        train_step = make_train_step(self.mods, self.cfg)
+
+        def epoch_fn(states, x, y, perms, steps_per_run):
+            """perms: (R, max_steps, B); lockstep scan with per-run masking."""
+
+            def body(states, step_and_idx):
+                step_idx, idx = step_and_idx  # idx: (R, B)
+
+                def one_run(state, x_r, y_r, idx_r, active):
+                    pcs = jnp.take(x_r, idx_r, axis=0)
+                    labels = jnp.take(y_r, idx_r, axis=0)
+                    new_state, metrics = train_step(state, pcs, labels, step_idx)
+                    # runs past their epoch end keep their state unchanged
+                    new_state = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(active, new, old),
+                        new_state,
+                        state,
+                    )
+                    metrics = jax.tree_util.tree_map(
+                        lambda m: jnp.where(active, m, jnp.nan), metrics
+                    )
+                    return new_state, metrics
+
+                active = step_idx < steps_per_run  # (R,)
+                new_states, metrics = jax.vmap(one_run)(
+                    states, x, y, idx, active
+                )
+                return new_states, metrics
+
+            steps = jnp.arange(perms.shape[1])
+            perms_t = jnp.swapaxes(perms, 0, 1)  # (max_steps, R, B)
+            return jax.lax.scan(body, states, (steps, perms_t))
+
+        self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+        def valid_fn(states, xv, yv, perms):
+            def body(carry, idx):  # idx: (R, B)
+                def one_run(state, x_r, y_r, idx_r):
+                    pcs = jnp.take(x_r, idx_r, axis=0)
+                    labels = jnp.take(y_r, idx_r, axis=0)
+                    variables = {
+                        "params": state.params_g["encoder"],
+                        "batch_stats": state.batch_stats["encoder"],
+                    }
+                    logits, fv = self.mods.encoder.apply(
+                        variables, pcs, train=False
+                    )
+                    correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+                    return correct.astype(jnp.float32)
+
+                return carry, jax.vmap(one_run)(states, xv, yv, idx)
+
+            perms_t = jnp.swapaxes(perms, 0, 1)
+            _, corrects = jax.lax.scan(body, None, perms_t)
+            return corrects  # (steps, R)
+
+        self._valid_fn = jax.jit(valid_fn)
+
+    def run_epoch(self, epoch: int) -> Dict[str, np.ndarray]:
+        """One lockstep epoch; returns per-run metric means (R,) arrays."""
+        B = self.cfg.BATCH_SIZE
+        perms = np.zeros((self.R, self._max_steps, B), dtype=np.int32)
+        for r in range(self.R):
+            order = self._host_rngs[r].permutation(int(self.n_real[r]))
+            s = int(self._steps_per_run[r])
+            perms[r, :s] = order[: s * B].reshape(s, B)
+            # inactive trailing steps reuse index 0 (masked out anyway)
+        self.states, metrics = self._epoch_fn(
+            self.states,
+            self.x,
+            self.y,
+            jnp.asarray(perms),
+            jnp.asarray(self._steps_per_run),
+        )
+        metrics = jax.device_get(metrics)  # each (max_steps, R)
+        out: Dict[str, np.ndarray] = {}
+        for k, v in metrics.items():
+            if k == "n_correct":
+                tot = np.nansum(v, axis=0)
+                out["train_accuracy"] = tot / (self._steps_per_run * B)
+            else:
+                out[k] = np.nanmean(v, axis=0)
+        return out
+
+    def valid_accuracy(self) -> np.ndarray:
+        """Per-run validation accuracy (R,), drop_last batching."""
+        assert self.xv is not None
+        B = self.cfg.BATCH_SIZE
+        steps = int(self.nv_real.min()) // B
+        perms = np.stack(
+            [
+                np.arange(steps * B, dtype=np.int32).reshape(steps, B)
+                for _ in range(self.R)
+            ]
+        )
+        corrects = jax.device_get(self._valid_fn(self.states, self.xv, self.yv, jnp.asarray(perms)))
+        return corrects.sum(axis=0) / (steps * B)
+
+    def per_run_states(self) -> List:
+        """Unstack to per-run PCAAState pytrees (host) for checkpointing."""
+        states = jax.device_get(self.states)
+        return [_unstack_state(states, r) for r in range(self.R)]

@@ -56,13 +56,19 @@ class ORCEDState(struct.PyTreeNode):
 
 def build_orced(cfg: Config, key: jax.Array):
     n = cfg.n_classes
+    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     encoder = ORCEDEncoder(
         n_out_labels=n,
         sup_latent_dim=cfg.SUP_LATENT_DIM,
         pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+        dtc_filters=tuple(cfg.DTC_FILTERS),
+        dtype=dtype,
     )
     decoder = ORCEDDecoder(
-        nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+        nsteps=cfg.NSTEPS,
+        nmax_points=cfg.NMAX,
+        nfeatures=cfg.NFEATURES,
+        dtype=dtype,
     )
     mean_learner = GaussianMeanLearner(cfg.SUP_LATENT_DIM)
 

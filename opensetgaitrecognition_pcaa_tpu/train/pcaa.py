@@ -121,17 +121,23 @@ def build_pcaa(
 ) -> Tuple[PCAAModules, PCAAState]:
     n = cfg.n_classes
     latent = cfg.SUP_LATENT_DIM
+    dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     mods = PCAAModules(
         encoder=CGEncoder(
             n_out_labels=n,
             sup_latent_dim=latent,
             pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+            dtc_filters=tuple(cfg.DTC_FILTERS),
             use_projection_head=spec.use_enc_head,
+            dtype=dtype,
         ),
         discriminator=CGDiscriminator(),
         decoder=(
             CGDecoder(
-                nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+                nsteps=cfg.NSTEPS,
+                nmax_points=cfg.NMAX,
+                nfeatures=cfg.NFEATURES,
+                dtype=dtype,
             )
             if spec.use_decoder
             else None
@@ -215,9 +221,25 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         k_z, k_alpha = jax.random.split(key)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
 
-        # --- one encoder forward (train mode); canonical BN-stat update ----
-        logits0, fv0, new_enc_bs = _encoder_apply(
-            mods, state.params_g["encoder"], state.batch_stats["encoder"], pcs, True
+        # --- ONE encoder forward (train mode) for the whole step ----------
+        # The reference reuses its single forward's graph for both the
+        # D-step (detached) and the G-step backward. We do the same with
+        # jax.vjp: one forward here, and its pullback supplies the encoder
+        # gradients for the generator loss — no second forward.
+        def enc_fwd(enc_params):
+            (logits, fv), muts = mods.encoder.apply(
+                {
+                    "params": enc_params,
+                    "batch_stats": state.batch_stats["encoder"],
+                },
+                pcs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return (logits, fv), muts["batch_stats"]
+
+        (logits0, fv0), enc_vjp, new_enc_bs = jax.vjp(
+            enc_fwd, state.params_g["encoder"], has_aux=True
         )
         fv_detached = jax.lax.stop_gradient(fv0)
 
@@ -277,21 +299,20 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         # --- generator (encoder+decoder) step ------------------------------
         sup_on = (step_idx % cfg.SUPERVISION_FREQUENCY) == 0
 
-        def g_loss_fn(params_g):
-            logits, fv, _ = _encoder_apply(
-                mods,
-                params_g["encoder"],
-                state.batch_stats["encoder"],
-                pcs,
-                True,
-            )
+        def downstream_loss(down_params, logits, fv):
+            """G loss as a function of (decoder-side params, encoder outputs).
+
+            The encoder gradients come from the pullback of the single
+            forward above (``enc_vjp``) — same math as differentiating a
+            recomputed forward, one full encoder pass cheaper.
+            """
             if spec.use_decoder:
                 h = (
-                    mods.dec_head.apply({"params": params_g["dec_head"]}, fv)
+                    mods.dec_head.apply({"params": down_params["dec_head"]}, fv)
                     if spec.use_dec_head
                     else fv
                 )
-                rec = mods.decoder.apply({"params": params_g["decoder"]}, h)
+                rec = mods.decoder.apply({"params": down_params["decoder"]}, h)
                 rec_loss = seq_chamfer(rec, pcs)
             else:
                 rec_loss = jnp.float32(0.0)
@@ -311,9 +332,17 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             tot = rec_loss + adv_loss + jnp.where(sup_on, sup_loss, 0.0)
             return tot, (rec_loss, adv_loss, sup_loss)
 
-        (tot_loss, (rec_loss, adv_loss, sup_loss)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params_g)
+        down_params = {
+            k: v for k, v in state.params_g.items() if k != "encoder"
+        }
+        (tot_loss, (rec_loss, adv_loss, sup_loss)), down_grads = (
+            jax.value_and_grad(downstream_loss, argnums=(0, 1, 2), has_aux=True)(
+                down_params, logits0, fv0
+            )
+        )
+        d_down, d_logits, d_fv = down_grads
+        (enc_grads,) = enc_vjp((d_logits, d_fv))
+        g_grads = {"encoder": enc_grads, **d_down}
         g_updates, new_opt_g = mods.tx_g.update(g_grads, state.opt_g, state.params_g)
         new_params_g = optax.apply_updates(state.params_g, g_updates)
 

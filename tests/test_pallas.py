@@ -1,0 +1,172 @@
+"""Pallas kernel tests (interpret mode on CPU; real compile covered on TPU
+by bench/inference runs).
+
+Each kernel is checked against its XLA reference implementation — the same
+oracle-style the rest of the suite uses.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from opensetgaitrecognition_pcaa_tpu.models import CGEncoder
+from opensetgaitrecognition_pcaa_tpu.models.layers import PointNetBlock
+from opensetgaitrecognition_pcaa_tpu.ops import seq_chamfer
+from opensetgaitrecognition_pcaa_tpu.ops.pallas import (
+    fold_batchnorm,
+    pointnet_pool_infer,
+    seq_chamfer_pallas,
+)
+from opensetgaitrecognition_pcaa_tpu.ops.pallas.pointnet_infer import (
+    folded_pointnet_params,
+)
+
+
+class TestChamferPallas:
+    def test_forward_matches_xla(self):
+        rng = np.random.default_rng(0)
+        gts = rng.normal(size=(2, 3, 16, 4)).astype(np.float32)
+        preds = rng.normal(size=(2, 3, 16, 4)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = seq_chamfer_pallas(jnp.array(preds), jnp.array(gts))
+        want = seq_chamfer(jnp.array(preds), jnp.array(gts))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    def test_per_sample_mode(self):
+        rng = np.random.default_rng(1)
+        gts = rng.normal(size=(3, 2, 8, 4)).astype(np.float32)
+        preds = rng.normal(size=(3, 2, 8, 4)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = seq_chamfer_pallas(
+                jnp.array(preds), jnp.array(gts), avg_out=False
+            )
+        want = seq_chamfer(jnp.array(preds), jnp.array(gts), avg_out=False)
+        np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5)
+
+    def test_gradient_matches_xla(self):
+        rng = np.random.default_rng(2)
+        gts = jnp.array(rng.normal(size=(2, 2, 10, 4)).astype(np.float32))
+        preds = jnp.array(rng.normal(size=(2, 2, 10, 4)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            g_pallas = jax.grad(lambda p: seq_chamfer_pallas(p, gts))(preds)
+        g_xla = jax.grad(lambda p: seq_chamfer(p, gts))(preds)
+        np.testing.assert_allclose(
+            np.array(g_pallas), np.array(g_xla), rtol=1e-4, atol=1e-5
+        )
+
+    def test_gradient_wrt_gts_matches_xla(self):
+        rng = np.random.default_rng(3)
+        gts = jnp.array(rng.normal(size=(1, 2, 9, 4)).astype(np.float32))
+        preds = jnp.array(rng.normal(size=(1, 2, 9, 4)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            g_pallas = jax.grad(lambda g: seq_chamfer_pallas(preds, g))(gts)
+        g_xla = jax.grad(lambda g: seq_chamfer(preds, g))(gts)
+        np.testing.assert_allclose(
+            np.array(g_pallas), np.array(g_xla), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestFoldBatchNorm:
+    def test_folded_equals_sequential(self):
+        rng = np.random.default_rng(0)
+        cin, cout = 6, 10
+        k = jnp.array(rng.normal(size=(cin, cout)).astype(np.float32))
+        b = jnp.array(rng.normal(size=cout).astype(np.float32))
+        scale = jnp.array(rng.uniform(0.5, 2, cout).astype(np.float32))
+        beta = jnp.array(rng.normal(size=cout).astype(np.float32))
+        mean = jnp.array(rng.normal(size=cout).astype(np.float32))
+        var = jnp.array(rng.uniform(0.5, 2, cout).astype(np.float32))
+        x = jnp.array(rng.normal(size=(7, cin)).astype(np.float32))
+
+        w2, b2 = fold_batchnorm(k, b, scale, beta, mean, var)
+        y_seq = ((x @ k + b) - mean) / jnp.sqrt(var + 1e-5) * scale + beta
+        np.testing.assert_allclose(
+            np.array(x @ w2 + b2), np.array(y_seq), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestFusedEncoder:
+    def test_matches_flax_eval_apply(self):
+        from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
+            fused_encoder_apply,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 8, 12, 4)).astype(np.float32)
+        enc = CGEncoder(
+            n_out_labels=3, sup_latent_dim=8, pointnet_out_dim=16,
+            dtc_filters=(4, 4, 4, 4, 4, 8), use_projection_head=True,
+        )
+        v = enc.init(jax.random.PRNGKey(0), jnp.array(x), train=False)
+        (_, _), muts = enc.apply(
+            v, jnp.array(x), train=True, mutable=["batch_stats"]
+        )
+        v = {"params": v["params"], "batch_stats": muts["batch_stats"]}
+        want_logits, want_fv = enc.apply(v, jnp.array(x), train=False)
+        for use_pallas in (False, True):
+            if use_pallas:
+                ctx = pltpu.force_tpu_interpret_mode()
+            else:
+                import contextlib
+
+                ctx = contextlib.nullcontext()
+            with ctx:
+                got_logits, got_fv = fused_encoder_apply(
+                    v, jnp.array(x), use_projection_head=True,
+                    use_pallas=use_pallas,
+                )
+            # BN folding reorders float ops → small absolute drift; the
+            # predictions (argmax) must be identical.
+            np.testing.assert_allclose(
+                np.array(got_fv), np.array(want_fv), atol=5e-4, rtol=0
+            )
+            np.testing.assert_array_equal(
+                np.array(got_logits).argmax(1), np.array(want_logits).argmax(1)
+            )
+
+
+class TestPointNetInferKernel:
+    def test_matches_eval_pointnet_plus_pool(self):
+        rng = np.random.default_rng(0)
+        B, T, N, C, D = 2, 3, 12, 4, 16
+        x = rng.normal(size=(B, T, N, C)).astype(np.float32)
+
+        block = PointNetBlock(out_dim=D)
+        v = block.init(jax.random.PRNGKey(0), jnp.array(x), train=False)
+        # make running stats non-trivial
+        stats = jax.tree_util.tree_map(
+            lambda a: a + 0.3 * np.abs(rng.normal(size=a.shape)).astype(np.float32),
+            jax.device_get(v["batch_stats"]),
+        )
+        variables = {"params": v["params"], "batch_stats": stats}
+
+        want = block.apply(variables, jnp.array(x), train=False)
+        want = jnp.mean(want.astype(jnp.float32), axis=2)  # (B, T, D)
+
+        folded = folded_pointnet_params(variables["params"], variables["batch_stats"])
+        with pltpu.force_tpu_interpret_mode():
+            got = pointnet_pool_infer(jnp.array(x), folded)
+        np.testing.assert_allclose(
+            np.array(got), np.array(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_matches_full_encoder_backbone_prefix(self):
+        # the fused kernel output must equal the encoder's internal
+        # pointnet+pool stage, extracted from its param tree
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 4, 10, 4)).astype(np.float32)
+        enc = CGEncoder(
+            n_out_labels=3, sup_latent_dim=8, pointnet_out_dim=16,
+            dtc_filters=(4, 4, 4, 4, 4, 8),
+        )
+        v = enc.init(jax.random.PRNGKey(0), jnp.array(x), train=False)
+        pn_params = v["params"]["GaitBackbone_0"]["PointNetBlock_0"]
+        pn_stats = v["batch_stats"]["GaitBackbone_0"]["PointNetBlock_0"]
+        folded = folded_pointnet_params(pn_params, pn_stats)
+        with pltpu.force_tpu_interpret_mode():
+            got = pointnet_pool_infer(jnp.array(x), folded)
+        assert got.shape == (2, 4, 16)
+        assert np.isfinite(np.array(got)).all()
