@@ -117,6 +117,13 @@ class Config:
     # "bfloat16" (2x MXU throughput; params, accumulation and BatchNorm
     # statistics stay float32).
     COMPUTE_DTYPE: str = "float32"
+    # Persist the full training state (params + Adam moments + BN stats +
+    # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
+    # default: with the 215M-param decoder a full-state save moves ~2.6 GB
+    # host-side per checkpoint — worth it for long production runs, not for
+    # short grid runs (which are cheap to restart and are skipped wholesale
+    # via the run-completion marker).
+    SAVE_RESUME_STATE: bool = False
     SEED: int = 0
     DATA_PATH: str = os.path.join("data", "raw_tracks")
     GEN_DATA_PATH: str = os.path.join("data", "generated_dataset")

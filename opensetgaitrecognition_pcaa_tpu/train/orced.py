@@ -42,8 +42,11 @@ from opensetgaitrecognition_pcaa_tpu.ops import (
 )
 from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    load_train_state,
+    mark_run_completed,
     module_path,
     save_params,
+    save_train_state,
 )
 
 
@@ -226,8 +229,12 @@ def train_orced(
     wandb_mode: str = "disabled",
     datasets: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
     verbose: bool = True,
+    resume: bool = True,
 ) -> Dict[str, float]:
-    """Train one OR-CED run; writes run folder (E/G/ML) and returns metrics."""
+    """Train one OR-CED run; writes run folder (E/G/ML) and returns metrics.
+
+    ``resume=True`` continues from a full-state ``train_state.msgpack`` if
+    present (beyond-reference capability; SURVEY.md §5)."""
     run_dir = cfg.run_dir()
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "config.json"))
@@ -235,10 +242,16 @@ def train_orced(
 
     if datasets is None:
         ds_train = RadarCropDataset(
-            SPLIT.TRAIN, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+            SPLIT.TRAIN,
+            cfg.GEN_DATA_PATH,
+            scenarios=cfg.scenarios,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
         )
         ds_valid = RadarCropDataset(
-            SPLIT.VALID, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+            SPLIT.VALID,
+            cfg.GEN_DATA_PATH,
+            scenarios=cfg.scenarios,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
         )
         x_train, y_train = ds_train.load_all()
         x_valid, y_valid = ds_valid.load_all()
@@ -263,29 +276,49 @@ def train_orced(
         .astype(np.int32)
     )
 
-    def checkpoint():
+    def snapshot():
+        # device-side copy; single host fetch at run end (tunnel bandwidth)
+        return jax.tree_util.tree_map(
+            jnp.copy, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+
+    def write_checkpoint(payload):
         save_params(
             {
-                "params": state.params["encoder"],
-                "batch_stats": state.batch_stats["encoder"],
+                "params": payload["params"]["encoder"],
+                "batch_stats": payload["batch_stats"]["encoder"],
             },
             module_path(run_dir, name, "E"),
         )
-        save_params({"params": state.params["decoder"]}, module_path(run_dir, name, "G"))
+        save_params(
+            {"params": payload["params"]["decoder"]}, module_path(run_dir, name, "G")
+        )
         save_params(
             {
-                "params": state.params["mean_learner"],
-                "batch_stats": state.batch_stats["mean_learner"],
+                "params": payload["params"]["mean_learner"],
+                "batch_stats": payload["batch_stats"]["mean_learner"],
             },
             module_path(run_dir, name, "ML"),
         )
 
     best_valid_acc = 0.0
+    best_payload = None
+    start_epoch = 0
+    ckpt_path = os.path.join(run_dir, "train_state.msgpack")
+    if resume:
+        restored = load_train_state(state, ckpt_path)
+        if restored is not None:
+            state, start_epoch, meta = restored
+            host_rng.bit_generator.state = meta["host_rng_state"]
+            best_valid_acc = meta.get("best_valid_acc", 0.0)
+            if verbose:
+                print(f"[{name}] resuming from epoch {start_epoch}")
+
     t_start = time.time()
     total_windows = 0
     out: Dict[str, float] = {}
 
-    for epoch in range(cfg.EPOCHS):
+    for epoch in range(start_epoch, cfg.EPOCHS):
         kl_mult = jnp.float32(epoch / cfg.EPOCHS)  # train_ORCED.py:122
         order = host_rng.permutation(n_train)
         perm = jnp.asarray(
@@ -323,15 +356,28 @@ def train_orced(
                 f"acc={train_acc:.3f} vacc={valid_acc:.3f}"
             )
 
-        if epoch % cfg.CHECKPOINT_FREQUENCY == 0 and valid_acc > best_valid_acc:
-            best_valid_acc = valid_acc
-            checkpoint()
+        if epoch % cfg.CHECKPOINT_FREQUENCY == 0:
+            if valid_acc > best_valid_acc:
+                best_valid_acc = valid_acc
+                best_payload = snapshot()
+            if cfg.SAVE_RESUME_STATE:
+                save_train_state(
+                    state,
+                    epoch,
+                    host_rng.bit_generator.state,
+                    ckpt_path,
+                    extra={"best_valid_acc": best_valid_acc},
+                )
         out = dict(epoch_metrics)
 
     elapsed = time.time() - t_start
     out["windows_per_sec"] = total_windows / max(elapsed, 1e-9)
     out["best_valid_accuracy"] = best_valid_acc
     logger.finish()
-    if best_valid_acc == 0.0:
-        checkpoint()
+    write_checkpoint(
+        best_payload
+        if best_payload is not None
+        else {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    mark_run_completed(run_dir, out)
     return out

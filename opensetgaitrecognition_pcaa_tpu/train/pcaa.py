@@ -65,9 +65,12 @@ from opensetgaitrecognition_pcaa_tpu.ops import (
 )
 from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    load_train_state,
+    mark_run_completed,
     module_path,
     save_array,
     save_params,
+    save_train_state,
 )
 
 
@@ -184,8 +187,12 @@ def build_pcaa(
         sample_distant_points(latent, n, min_dist=10, sphere_radius=10, seed=42)
     )
 
-    mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2)
-    mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2)
+    # In bf16 mode the Adam first moments are also bf16 — the 215M-param
+    # decoder makes optimizer-state traffic a first-order step cost (m/v are
+    # read+written every step); the second moment stays f32 for stability.
+    mu_dtype = dtype if cfg.COMPUTE_DTYPE == "bfloat16" else None
+    mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
+    mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
 
     state = PCAAState(
         params_g=params_g,
@@ -366,18 +373,37 @@ def make_train_step(mods: PCAAModules, cfg: Config):
     return step
 
 
-def make_epoch_fns(mods: PCAAModules, cfg: Config):
-    """→ (train_epoch, valid_epoch), both jitted whole-epoch scans."""
+def make_epoch_fns(mods: PCAAModules, cfg: Config, mesh=None):
+    """→ (train_epoch, valid_epoch), both jitted whole-epoch scans.
+
+    With ``mesh`` (a ``(data, model)`` ``jax.sharding.Mesh``), each gathered
+    batch is sharding-constrained onto the ``data`` axis — GSPMD then splits
+    the forward/backward across chips and inserts the gradient ``psum`` over
+    ICI (data parallelism; params stay replicated unless the caller placed
+    them with the tensor-parallel rule of ``parallel/mesh.py``).
+    """
     spec = mods.spec
     train_step = make_train_step(mods, cfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        def shard_batch(t):
+            return jax.lax.with_sharding_constraint(t, batch_sh)
+    else:
+
+        def shard_batch(t):
+            return t
 
     def train_epoch(state: PCAAState, x_all, y_all, perm):
         """perm: (steps, B) int32 gather indices for this epoch's batches."""
 
         def body(state, step_and_idx):
             step_idx, idx = step_and_idx
-            pcs = jnp.take(x_all, idx, axis=0)
-            labels = jnp.take(y_all, idx, axis=0)
+            pcs = shard_batch(jnp.take(x_all, idx, axis=0))
+            labels = shard_batch(jnp.take(y_all, idx, axis=0))
             return train_step(state, pcs, labels, step_idx)
 
         steps = jnp.arange(perm.shape[0])
@@ -420,8 +446,34 @@ def make_epoch_fns(mods: PCAAModules, cfg: Config):
     )
 
 
-def _checkpoint(run_dir: str, name: str, mods: PCAAModules, state: PCAAState, cfg: Config):
+def _ckpt_payload(state: PCAAState) -> Dict[str, Any]:
+    """The state pieces the on-disk checkpoint needs (no optimizer moments)."""
+    return {
+        "params_g": state.params_g,
+        "params_d": state.params_d,
+        "ml_params": state.ml_params,
+        "batch_stats": state.batch_stats,
+    }
+
+
+def _snapshot(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-side copy — safe to hold across donated train steps; the
+    host fetch happens once at run end (the axon tunnel moves ~MB/s, so
+    fetching the 860 MB decoder at every improving checkpoint epoch like
+    the reference writes its .pt files would dominate the run)."""
+    return jax.tree_util.tree_map(jnp.copy, payload)
+
+
+def _checkpoint(run_dir: str, name: str, mods: PCAAModules, payload, cfg: Config):
     """Write the reference's per-module checkpoint files (SURVEY.md §1)."""
+
+    class _P:  # attribute view over the payload dict
+        params_g = payload["params_g"]
+        params_d = payload["params_d"]
+        ml_params = payload["ml_params"]
+        batch_stats = payload["batch_stats"]
+
+    state = _P
     enc_vars = {
         "params": state.params_g["encoder"],
         "batch_stats": state.batch_stats["encoder"],
@@ -473,6 +525,7 @@ def train_pcaa(
     wandb_mode: str = "disabled",
     datasets: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
     verbose: bool = True,
+    resume: bool = True,
 ) -> Dict[str, float]:
     """Train one PCAA run end-to-end; writes the run folder and returns
     final metrics (incl. throughput).
@@ -480,6 +533,9 @@ def train_pcaa(
     :param datasets: optional pre-loaded ``(x_train, y_train, x_valid,
         y_valid)`` override (used by tests / the grid runner); otherwise
         loaded from ``cfg.GEN_DATA_PATH``.
+    :param resume: continue from ``train_state.msgpack`` if the run folder
+        has one (full state: params, Adam moments, BN stats, PRNG, shuffle
+        stream) — the reference can only restart from scratch (SURVEY §5).
     """
     spec = VARIANTS[variation]
     if variation == VARIATION.V4 and proj_head_on_discriminator:
@@ -492,10 +548,16 @@ def train_pcaa(
 
     if datasets is None:
         ds_train = RadarCropDataset(
-            SPLIT.TRAIN, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+            SPLIT.TRAIN,
+            cfg.GEN_DATA_PATH,
+            scenarios=cfg.scenarios,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
         )
         ds_valid = RadarCropDataset(
-            SPLIT.VALID, cfg.GEN_DATA_PATH, subsample_factor=cfg.SUBSAMPLE_FACTOR
+            SPLIT.VALID,
+            cfg.GEN_DATA_PATH,
+            scenarios=cfg.scenarios,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
         )
         x_train, y_train = ds_train.load_all()
         x_valid, y_valid = ds_valid.load_all()
@@ -515,11 +577,33 @@ def train_pcaa(
             state.centroids, os.path.join(run_dir, "discriminator_means.npy")
         )
 
-    train_epoch, valid_epoch = make_epoch_fns(mods, cfg)
+    mesh = None
+    if cfg.DP_DEVICES > 1:
+        from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
+
+        assert cfg.BATCH_SIZE % cfg.DP_DEVICES == 0, (
+            cfg.BATCH_SIZE,
+            cfg.DP_DEVICES,
+        )
+        mesh = create_mesh(cfg.DP_DEVICES, model_parallel=1)
+
+    train_epoch, valid_epoch = make_epoch_fns(mods, cfg, mesh=mesh)
     logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
     host_rng = np.random.default_rng(cfg.SEED)
 
     best_valid_acc = 0.0
+    best_payload = None
+    start_epoch = 0
+    ckpt_path = os.path.join(run_dir, "train_state.msgpack")
+    if resume:
+        restored = load_train_state(state, ckpt_path)
+        if restored is not None:
+            state, start_epoch, meta = restored
+            host_rng.bit_generator.state = meta["host_rng_state"]
+            best_valid_acc = meta.get("best_valid_acc", 0.0)
+            if verbose:
+                print(f"[{name}] resuming from epoch {start_epoch}")
+
     n_train = x_train.shape[0]
     n_windows_epoch = (n_train // cfg.BATCH_SIZE) * cfg.BATCH_SIZE
     t_start = time.time()
@@ -531,7 +615,7 @@ def train_pcaa(
         np.arange(valid_steps * cfg.BATCH_SIZE).reshape(valid_steps, cfg.BATCH_SIZE)
     )
 
-    for epoch in range(cfg.EPOCHS):
+    for epoch in range(start_epoch, cfg.EPOCHS):
         order = host_rng.permutation(n_train)
         steps = n_train // cfg.BATCH_SIZE
         perm = jnp.asarray(
@@ -572,9 +656,20 @@ def train_pcaa(
 
         # best-by-valid-accuracy checkpoint every CHECKPOINT_FREQUENCY epochs
         # (reference PCAA_ablation.py:1087-1119, epoch 0 included).
-        if epoch % cfg.CHECKPOINT_FREQUENCY == 0 and valid_acc > best_valid_acc:
-            best_valid_acc = valid_acc
-            _checkpoint(run_dir, name, mods, state, cfg)
+        if epoch % cfg.CHECKPOINT_FREQUENCY == 0:
+            if valid_acc > best_valid_acc:
+                best_valid_acc = valid_acc
+                # device-side snapshot now, single host fetch at run end
+                best_payload = _snapshot(_ckpt_payload(state))
+            if cfg.SAVE_RESUME_STATE:
+                # full-state resume checkpoint (beyond-reference capability)
+                save_train_state(
+                    state,
+                    epoch,
+                    host_rng.bit_generator.state,
+                    ckpt_path,
+                    extra={"best_valid_acc": best_valid_acc},
+                )
 
         out = dict(epoch_metrics)
 
@@ -583,8 +678,14 @@ def train_pcaa(
     out["best_valid_accuracy"] = best_valid_acc
     logger.finish()
 
-    # Guarantee a complete run folder even if no epoch improved validation
-    # accuracy at a checkpoint boundary.
-    if best_valid_acc == 0.0:
-        _checkpoint(run_dir, name, mods, state, cfg)
+    # Single host fetch + write of the best checkpoint; fall back to the
+    # final state if no epoch improved validation accuracy at a boundary.
+    _checkpoint(
+        run_dir,
+        name,
+        mods,
+        best_payload if best_payload is not None else _ckpt_payload(state),
+        cfg,
+    )
+    mark_run_completed(run_dir, out)
     return out

@@ -57,3 +57,52 @@ def load_array(path: str) -> np.ndarray:
 def module_path(run_dir: str, model_name: str, tag: str) -> str:
     """``models/<NAME>/<NAME>_<TAG>.msgpack`` (reference file-stem contract)."""
     return os.path.join(run_dir, f"{model_name}_{tag}.msgpack")
+
+
+# --- full-state checkpoint/resume (beyond the reference, SURVEY.md §5) ------
+#
+# The reference saves best weights only and can never resume a run
+# (``train_AAE.py:340-360``; optimizer state never persisted). The framework
+# additionally checkpoints the COMPLETE training state — params, both Adam
+# states, BatchNorm stats, PRNG key, epoch index, host shuffle-rng state —
+# so an interrupted grid resumes mid-run with an identical trajectory.
+
+import json
+
+
+def save_train_state(
+    state, epoch: int, host_rng_state: dict, path: str, extra: dict = None
+) -> None:
+    from flax import serialization as ser
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(ser.to_bytes(jax.device_get(state)))
+    meta = {"epoch": epoch, "host_rng_state": host_rng_state}
+    meta.update(extra or {})
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_train_state(template_state, path: str):
+    """→ (state, next_epoch, meta dict) or None if no checkpoint."""
+    from flax import serialization as ser
+
+    if not (os.path.exists(path) and os.path.exists(path + ".meta.json")):
+        return None
+    with open(path, "rb") as f:
+        state = ser.from_bytes(template_state, f.read())
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    return state, meta["epoch"] + 1, meta
+
+
+def run_completed(run_dir: str) -> bool:
+    """True if this run folder has its completion marker (grid resumability:
+    the reference re-runs everything after a crash, SURVEY.md §5)."""
+    return os.path.exists(os.path.join(run_dir, "run_complete.json"))
+
+
+def mark_run_completed(run_dir: str, final_metrics: dict) -> None:
+    with open(os.path.join(run_dir, "run_complete.json"), "w") as f:
+        json.dump({k: float(v) for k, v in final_metrics.items()}, f)

@@ -5,3 +5,6 @@ from opensetgaitrecognition_pcaa_tpu.utils.profiling import (  # noqa: F401
 from opensetgaitrecognition_pcaa_tpu.utils.debug import (  # noqa: F401
     enable_nan_checks,
 )
+from opensetgaitrecognition_pcaa_tpu.utils.plotting import (  # noqa: F401
+    plot_pointcloud,
+)

@@ -15,6 +15,7 @@ from opensetgaitrecognition_pcaa_tpu.config import N_SUBJECTS, default_config
 from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
 from opensetgaitrecognition_pcaa_tpu.ops import openness
 from opensetgaitrecognition_pcaa_tpu.train import train_orced
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import run_completed
 from scripts.run_pcaa_ablation import unique_class_subsets
 
 
@@ -28,6 +29,7 @@ def main():
     p.add_argument("--n-tests", type=int, default=5)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--wandb-mode", default="disabled")
+    p.add_argument("--no-skip-completed", action="store_true")
     args = p.parse_args()
 
     base_cfg = default_config(
@@ -55,6 +57,9 @@ def main():
                 Openness=openness(n_tr, N_SUBJECTS),
                 NOTES="ORCED grid run",
             )
+            if not args.no_skip_completed and run_completed(cfg.run_dir()):
+                print(f"=== skipping completed {name} ===")
+                continue
             generate_splits(
                 data_path=cfg.DATA_PATH,
                 gen_data_path=cfg.GEN_DATA_PATH,

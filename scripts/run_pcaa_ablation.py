@@ -27,6 +27,7 @@ from opensetgaitrecognition_pcaa_tpu.config import (
 from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
 from opensetgaitrecognition_pcaa_tpu.ops import openness
 from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import run_completed
 
 
 def unique_class_subsets(n_tr: int, n_tests: int, rng: np.random.Generator):
@@ -50,6 +51,11 @@ def main():
     p.add_argument("--variants", nargs="+", default=["V1", "V2", "V3", "V4"])
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--wandb-mode", default="disabled")
+    p.add_argument(
+        "--no-skip-completed",
+        action="store_true",
+        help="retrain runs whose folder already has a completion marker",
+    )
     args = p.parse_args()
 
     base_cfg = default_config(
@@ -84,6 +90,9 @@ def main():
                 run_cfg = cfg.replace(
                     MODEL_NAME=name, NOTES=f"Ablation run, Variant {v[-1]}"
                 )
+                if not args.no_skip_completed and run_completed(run_cfg.run_dir()):
+                    print(f"=== skipping completed {name} ===")
+                    continue
                 print(f"=== training {name} ===")
                 out = train_pcaa(
                     run_cfg, variation, wandb_mode=args.wandb_mode

@@ -1,0 +1,163 @@
+"""Decision-level parity: open-set accept/reject decisions vs the
+reference's math executed through scipy/sklearn.
+
+BASELINE.md's north star is decision-level parity with the PyTorch
+reference. The model weights can't be bitwise-matched (different RNG
+streams), but the *decision pipeline downstream of the latents* can be:
+given identical latents/means, the framework's log-space scoring +
+threshold + voting must reproduce exactly what the reference's
+scipy-pdf/sklearn-roc/python-loop pipeline decides
+(``inference_PCAA.py:117-314``, ``inference_ORCED.py:18-132``).
+"""
+
+import numpy as np
+import pytest
+from scipy.stats import multivariate_normal, norm
+from sklearn.metrics import roc_curve
+
+from opensetgaitrecognition_pcaa_tpu.infer.orced import (
+    orced_ensemble_ood_detection,
+)
+from opensetgaitrecognition_pcaa_tpu.infer.pcaa import _window_vote
+from opensetgaitrecognition_pcaa_tpu.ops import (
+    best_youden_threshold,
+    log_joint_likelihood,
+)
+
+
+def reference_joint_likelihood(x, means):
+    """Literal transcription of inference_PCAA.py:129-136 (linear space)."""
+    likelihood = 0.0
+    for mean in means:
+        likelihood += multivariate_normal(mean=mean, cov=np.eye(len(mean))).pdf(x)
+    return likelihood / means.shape[0]
+
+
+def make_latents(rng, means, n_seen, n_unseen, d):
+    """Seen latents near the centroids, unseen latents off-manifold."""
+    labels = rng.integers(0, len(means), n_seen)
+    seen = means[labels] + rng.normal(0, 1.0, (n_seen, d))
+    unseen = rng.normal(0, 1.0, (n_unseen, d)) * 3.0  # near origin, off-sphere
+    return seen, labels, unseen
+
+
+class TestPCAADecisionParity:
+    def test_scores_are_order_identical_to_scipy(self):
+        rng = np.random.default_rng(0)
+        d, k = 32, 5
+        means = rng.normal(size=(k, d)) * 10
+        x = rng.normal(size=(40, d)) + means[rng.integers(0, k, 40)]
+        ours = log_joint_likelihood(x, means)
+        ref = np.array([reference_joint_likelihood(xi, means) for xi in x])
+        # linear-space scipy values underflow to ~1e-40 but ordering and
+        # log-consistency must hold exactly where ref > 0
+        mask = ref > 0
+        np.testing.assert_allclose(np.exp(ours[mask]), ref[mask], rtol=1e-8)
+        assert (np.argsort(ours[mask]) == np.argsort(ref[mask])).all()
+
+    def test_threshold_decision_identical_to_sklearn_pipeline(self):
+        rng = np.random.default_rng(1)
+        d, k = 8, 4
+        means = rng.normal(size=(k, d)) * 6
+        seen, labels, unseen = make_latents(rng, means, 120, 90, d)
+
+        # ---- reference pipeline (linear space, scipy + sklearn) ----------
+        ref_seen = np.array([reference_joint_likelihood(x, means) for x in seen])
+        ref_unseen = np.array(
+            [reference_joint_likelihood(x, means) for x in unseen]
+        )
+        scores = np.concatenate([ref_unseen, ref_seen])
+        det = np.concatenate([np.zeros(len(ref_unseen)), np.ones(len(ref_seen))])
+        fpr, tpr, thr = roc_curve(det, scores)
+        ref_threshold = thr[np.argmax(tpr - fpr)]
+        ref_seen_keep = ref_seen > ref_threshold
+        ref_unseen_keep = ref_unseen > ref_threshold
+
+        # ---- framework pipeline (log space) -------------------------------
+        our_seen = log_joint_likelihood(seen, means)
+        our_unseen = log_joint_likelihood(unseen, means)
+        our_threshold = best_youden_threshold(
+            det, np.concatenate([our_unseen, our_seen])
+        )
+        np.testing.assert_array_equal(our_seen > our_threshold, ref_seen_keep)
+        np.testing.assert_array_equal(our_unseen > our_threshold, ref_unseen_keep)
+
+    def test_window_vote_matches_reference_loop(self):
+        # literal transcription of the k-window decision loop
+        # (inference_PCAA.py:241-314) vs _window_vote
+        rng = np.random.default_rng(2)
+        n, k, n_labels = 97, 6, 4
+        log_liks = rng.normal(size=n)
+        preds = rng.integers(0, n_labels, n)
+        # blocks of constant labels with occasional mixed windows
+        labels = np.repeat(rng.integers(0, n_labels, 20), 5)[:n]
+        threshold = 0.2
+
+        ref_preds, ref_labels = [], []
+        for start in range(0, n - k + 1, k):  # drop_last batching
+            lab = labels[start : start + k]
+            if len(np.unique(lab)) != 1:
+                continue
+            above = np.sum(log_liks[start : start + k] > threshold)
+            if above > k / 2:
+                ref_preds.append(np.argmax(np.bincount(preds[start : start + k])))
+            else:
+                ref_preds.append(n_labels)
+            ref_labels.append(lab[0])
+
+        got_preds, got_labels = _window_vote(
+            log_liks, preds, labels, k, threshold, n_labels
+        )
+        assert got_preds == [int(p) for p in ref_preds]
+        assert got_labels == [int(l) for l in ref_labels]
+
+
+class TestORCEDDecisionParity:
+    def test_ensemble_decisions_match_scipy_transcription(self):
+        rng = np.random.default_rng(3)
+        d, n_classes, n_tr, n_te = 6, 3, 240, 50
+        gt = rng.integers(0, n_classes, n_tr)
+        f_tr = rng.normal(size=(n_tr, d)) + gt[:, None] * 4.0
+        pred_tr = gt.copy()
+        flip = rng.integers(0, n_tr, 20)
+        pred_tr[flip] = (pred_tr[flip] + 1) % n_classes  # some wrong preds
+        re_tr = np.abs(rng.normal(1.0, 0.2, n_tr))
+
+        z_te = np.concatenate(
+            [
+                rng.normal(size=(n_te // 2, d)) + rng.integers(0, n_classes, n_te // 2)[:, None] * 4.0,
+                rng.normal(size=(n_te - n_te // 2, d)) * 8.0,
+            ]
+        )
+        pred_te = rng.integers(0, n_classes, n_te)
+        re_te = np.abs(rng.normal(1.0, 0.6, n_te))
+        thr_g = 0.95
+
+        # ---- literal transcription of inference_ORCED.py:48-132 ----------
+        correct = gt == pred_tr
+        means_re, std_re, means_z, stds_z, thr_re = [], [], [], [], []
+        for c in range(n_classes):
+            means_re.append(np.mean(re_tr[gt == c]))
+            std_re.append(np.std(re_tr[gt == c]))
+            sel = f_tr[correct][gt[correct] == c]
+            means_z.append(np.mean(sel, axis=0))
+            stds_z.append(np.std(sel, axis=0))
+            thr_re.append(means_re[c] + 2 * std_re[c])
+        p_z_ks = []
+        for c in range(n_classes):
+            mvn = multivariate_normal(means_z[c], np.diag(stds_z[c]))
+            a = means_z[c] - np.abs(z_te - means_z[c])
+            b = means_z[c] + np.abs(z_te - means_z[c])
+            p = np.array([mvn.cdf(b[i]) - mvn.cdf(a[i]) for i in range(n_te)])
+            p_z_ks.append(p)
+        p_z_ks = np.array(p_z_ks)
+        latent_bools = np.sum(1 - p_z_ks < 1 - thr_g, axis=0) == n_classes
+        rec_bools = re_te > np.array([thr_re[j] for j in pred_te])
+        ref_out = pred_te.copy()
+        ref_out[np.logical_or(latent_bools, rec_bools)] = n_classes
+
+        # ---- framework -----------------------------------------------------
+        got = orced_ensemble_ood_detection(
+            re_tr, f_tr, thr_g, gt, pred_tr, pred_te, z_te, re_te
+        )
+        np.testing.assert_array_equal(got, ref_out)

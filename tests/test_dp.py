@@ -1,0 +1,33 @@
+"""Data-parallel trainer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION
+from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+
+from tests.test_train import tiny_config
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_dp_training_matches_single_device(generated_splits, tmp_path):
+    gen, _ = generated_splits
+    x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
+    x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
+    arrays = (x_t, y_t, x_v, y_v)
+
+    cfg1 = tiny_config(gen, tmp_path, "DP1", EPOCHS=1, DP_DEVICES=1)
+    out1 = train_pcaa(cfg1, VARIATION.V4, datasets=arrays, verbose=False)
+
+    cfg8 = tiny_config(gen, tmp_path, "DP8", EPOCHS=1, DP_DEVICES=8)
+    out8 = train_pcaa(cfg8, VARIATION.V4, datasets=arrays, verbose=False)
+
+    # same math, different device layout → equal up to reduction order
+    for k in ("Total Loss Train", "Discriminator Loss", "Train Accuracy"):
+        assert out1[k] == pytest.approx(out8[k], rel=1e-3), k
