@@ -35,23 +35,15 @@ def _folded_tcn_layer(layer_params: Dict, eps: float = 1e-5):
     return conv["kernel"], conv["bias"], bn
 
 
-def fused_encoder_apply(
-    enc_vars: Dict,
+def _backbone_eval(
+    params: Dict,
+    stats: Dict,
     x: jnp.ndarray,
-    *,
-    dilations=(1, 2, 4, 1, 2, 4),
-    use_projection_head: bool,
-    use_pallas: bool = True,
-):
-    """Eval-mode CGEncoder forward → (logits, sup_fv).
-
-    :param enc_vars: ``{"params": ..., "batch_stats": ...}`` as stored in
-        ``<NAME>_E.msgpack``.
-    :param use_pallas: route the PointNet stack through the fused kernel
-        (set False on hosts without a TPU/interpreter).
-    """
-    params = enc_vars["params"]
-    stats = enc_vars["batch_stats"]
+    dilations,
+    use_pallas: bool,
+) -> jnp.ndarray:
+    """Shared eval-mode GaitBackbone: fused PointNet+pool → folded TCN →
+    time pooling. ``(B, T, N, C) → (B, filters[-1])``."""
     bb_p = params["GaitBackbone_0"]
     bb_s = stats["GaitBackbone_0"]
 
@@ -105,9 +97,28 @@ def fused_encoder_apply(
         )
         h = jax.nn.elu(h + folded_b)
 
-    feats = jnp.mean(h, axis=1)  # (B, filters[-1])
+    return jnp.mean(h, axis=1)  # (B, filters[-1])
 
-    # --- heads -----------------------------------------------------------
+
+def fused_encoder_apply(
+    enc_vars: Dict,
+    x: jnp.ndarray,
+    *,
+    dilations=(1, 2, 4, 1, 2, 4),
+    use_projection_head: bool,
+    use_pallas: bool = True,
+):
+    """Eval-mode CGEncoder forward → (logits, sup_fv).
+
+    :param enc_vars: ``{"params": ..., "batch_stats": ...}`` as stored in
+        ``<NAME>_E.msgpack``.
+    :param use_pallas: route the PointNet stack through the fused kernel
+        (set False on hosts without a TPU/interpreter).
+    """
+    params = enc_vars["params"]
+    feats = _backbone_eval(
+        params, enc_vars["batch_stats"], x, dilations, use_pallas
+    )
     sup1 = params["MLP_sup1"]
     sup_fv = jax.nn.elu(feats @ sup1["kernel"] + sup1["bias"])
     hh = sup_fv
@@ -117,3 +128,33 @@ def fused_encoder_apply(
     sup2 = params["MLP_sup2"]
     logits = jax.nn.elu(hh @ sup2["kernel"] + sup2["bias"])
     return logits, sup_fv
+
+
+def fused_orced_encoder_apply(
+    enc_vars: Dict,
+    x: jnp.ndarray,
+    key,
+    *,
+    dilations=(1, 2, 4, 1, 2, 4),
+    use_pallas: bool = True,
+):
+    """Eval-mode ORCEDEncoder forward → (logits, z, mu, logvar).
+
+    Reparametrization still samples in eval (reference ``models.py:494-496``;
+    same explicit ``key`` contract as the flax module's ``'reparam'`` stream
+    — note the stream itself differs from flax's derived key, so latents
+    match distributionally, not bitwise).
+    """
+    params = enc_vars["params"]
+    feats = _backbone_eval(
+        params, enc_vars["batch_stats"], x, dilations, use_pallas
+    )
+    mu = feats @ params["MLP_mu"]["kernel"] + params["MLP_mu"]["bias"]
+    logvar = (
+        feats @ params["MLP_logvar"]["kernel"] + params["MLP_logvar"]["bias"]
+    )
+    eps = jax.random.normal(key, logvar.shape)
+    z = mu + eps * jnp.exp(0.5 * logvar)
+    cls = params["MLP_classification"]
+    logits = z @ cls["kernel"] + cls["bias"]
+    return logits, z, mu, logvar

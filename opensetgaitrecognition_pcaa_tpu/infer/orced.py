@@ -94,13 +94,30 @@ def orced_ensemble_ood_detection(
 
 
 def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
-    """Batched eval pass → (preds, latents, per-sample rec errors)."""
-    import jax.numpy as jnp
+    """Batched eval pass → (preds, latents, per-sample rec errors).
+
+    On TPU the encoder trunk routes through the fused Pallas eval path
+    (``infer/fast_encoder.py``); note the reparametrization noise stream
+    then differs from the flax-derived one — irrelevant for parity, the
+    reference's own noise is unseeded torch ``randn`` (SURVEY.md §7.3).
+    """
+    import jax
+
+    from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
+        fused_orced_encoder_apply,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
 
     def fwd(chunk):
-        logits, z, mu, logvar = encoder.apply(
-            enc_vars, chunk, train=False, rngs={"reparam": key}
-        )
+        if on_tpu:
+            logits, z, mu, logvar = fused_orced_encoder_apply(
+                enc_vars, chunk, key, use_pallas=True
+            )
+        else:
+            logits, z, mu, logvar = encoder.apply(
+                enc_vars, chunk, train=False, rngs={"reparam": key}
+            )
         rec = decoder.apply(dec_vars, z)
         re = seq_chamfer(rec, chunk, avg_out=False)
         return logits.argmax(axis=1), z, re

@@ -246,3 +246,45 @@ class GridPCAATrainer:
         """Unstack to per-run PCAAState pytrees (host) for checkpointing."""
         states = jax.device_get(self.states)
         return [_unstack_state(states, r) for r in range(self.R)]
+
+    # --- per-run best-by-validation tracking (device-side) -----------------
+    def _ckpt_payload_stacked(self):
+        return {
+            "params_g": self.states.params_g,
+            "params_d": self.states.params_d,
+            "ml_params": self.states.ml_params,
+            "batch_stats": self.states.batch_stats,
+        }
+
+    def note_validation(self, valid_accs: np.ndarray) -> np.ndarray:
+        """Track each run's best-by-validation checkpoint payload on device
+        (mirrors the reference's best-accuracy checkpointing without any
+        host fetch until :meth:`best_run_payloads`). Returns the improved
+        mask."""
+        if not hasattr(self, "_best_accs"):
+            self._best_accs = np.full(self.R, -np.inf)
+            self._best_payload = jax.tree_util.tree_map(
+                jnp.copy, self._ckpt_payload_stacked()
+            )
+        improved = valid_accs > self._best_accs
+        self._best_accs = np.maximum(self._best_accs, valid_accs)
+        if improved.any():
+            mask = jnp.asarray(improved)
+
+            def pick(new, old):
+                m = mask.reshape((self.R,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            self._best_payload = jax.tree_util.tree_map(
+                pick, self._ckpt_payload_stacked(), self._best_payload
+            )
+        return improved
+
+    def best_run_payloads(self) -> List[dict]:
+        """→ per-run checkpoint payload dicts (single host fetch)."""
+        payload = jax.device_get(
+            getattr(self, "_best_payload", None) or self._ckpt_payload_stacked()
+        )
+        return [
+            jax.tree_util.tree_map(lambda x: x[r], payload) for r in range(self.R)
+        ]

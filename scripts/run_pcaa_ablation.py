@@ -40,6 +40,131 @@ def unique_class_subsets(n_tr: int, n_tests: int, rng: np.random.Generator):
     return chosen
 
 
+def run_grid_mode(args):
+    """Lockstep multi-split training: one GridPCAATrainer per
+    (openness, variant) cell, splits sharded across devices."""
+    import json
+
+    import jax
+
+    from opensetgaitrecognition_pcaa_tpu.config import SPLIT
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridPCAATrainer
+    from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
+    from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+        VARIANTS,
+        _checkpoint,
+        build_pcaa,
+    )
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+        mark_run_completed,
+        save_array,
+    )
+    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+
+    base_cfg = default_config(
+        DATA_PATH=args.data_path,
+        GEN_DATA_PATH=args.gen_data_path,
+        MODELS_PATH=args.models_path,
+    )
+    if args.epochs:
+        base_cfg = base_cfg.replace(EPOCHS=args.epochs)
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(n_dev) if n_dev > 1 else None
+
+    rng = np.random.default_rng(0)
+    for n_tr in args.n_training_classes:
+        subsets = unique_class_subsets(n_tr, args.n_tests, rng)
+
+        # materialize each split's crops once per openness level
+        gen_dirs, data = [], []
+        for i, classes in enumerate(subsets):
+            gen_i = f"{args.gen_data_path}_grid{n_tr}_{i}"
+            generate_splits(
+                data_path=args.data_path,
+                gen_data_path=gen_i,
+                train_classes=classes,
+                seed=0,
+                nmax_points=base_cfg.NMAX,
+                nsteps=base_cfg.NSTEPS,
+                crop_step=base_cfg.CROP_STEP,
+                verbose=False,
+            )
+            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_i).load_all()
+            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_i).load_all()
+            gen_dirs.append(gen_i)
+            data.append(((x_t, y_t), (x_v, y_v)))
+
+        for v in args.variants:
+            variation = VARIATION(v)
+            cfgs = [
+                base_cfg.replace(
+                    MODEL_NAME=f"{args.model_name_base}{v}.{n_tr}.{i + 1}",
+                    TRAIN_CLASSES=tuple(subsets[i]),
+                    Openness=openness(n_tr, N_SUBJECTS),
+                    GEN_DATA_PATH=gen_dirs[i],
+                    SEED=i,
+                    NOTES=f"Grid-parallel ablation run, Variant {v[-1]}",
+                )
+                for i in range(args.n_tests)
+            ]
+            print(f"=== grid-training {v} n_tr={n_tr} ({args.n_tests} splits) ===")
+            trainer = GridPCAATrainer(
+                cfgs,
+                variation,
+                train_sets=[d[0] for d in data],
+                valid_sets=[d[1] for d in data],
+                mesh=mesh,
+            )
+            loggers = []
+            for cfg in cfgs:
+                os.makedirs(cfg.run_dir(), exist_ok=True)
+                cfg.save(os.path.join(cfg.run_dir(), "config.json"))
+                loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
+
+            for epoch in range(base_cfg.EPOCHS):
+                m = trainer.run_epoch(epoch)
+                if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
+                    vacc = trainer.valid_accuracy()
+                    trainer.note_validation(vacc)
+                for r, logger in enumerate(loggers):
+                    logger.log(
+                        {
+                            "Total Loss Train": float(m["tot_loss"][r]),
+                            "Discriminator Loss": float(m["d_loss"][r]),
+                            "Train Accuracy": float(m["train_accuracy"][r]),
+                        },
+                        step=epoch,
+                    )
+
+            payloads = trainer.best_run_payloads()
+            best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
+            for r, (cfg, payload, logger) in enumerate(
+                zip(cfgs, payloads, loggers)
+            ):
+                _checkpoint(cfg.run_dir(), cfg.MODEL_NAME, trainer.mods, payload, cfg)
+                if not VARIANTS[variation].learned_centroids:
+                    save_array(
+                        np.asarray(
+                            jax.device_get(trainer.states.centroids)[0]
+                            if hasattr(trainer.states.centroids, "ndim")
+                            and trainer.states.centroids.ndim == 3
+                            else jax.device_get(trainer.states.centroids)
+                        ),
+                        os.path.join(cfg.run_dir(), "discriminator_means.npy"),
+                    )
+                logger.finish()
+                mark_run_completed(
+                    cfg.run_dir(),
+                    {"best_valid_accuracy": float(best_accs[r])},
+                )
+            print(
+                f"    best valid accs: "
+                f"{np.round(getattr(trainer, '_best_accs', np.zeros(1)), 4)}"
+            )
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-path", required=True, help="raw tracks root")
@@ -56,7 +181,19 @@ def main():
         action="store_true",
         help="retrain runs whose folder already has a completion marker",
     )
+    p.add_argument(
+        "--grid",
+        action="store_true",
+        help="train all splits of each (variant, openness) cell in lockstep "
+        "on one device mesh (parallel/grid.py) instead of sequentially — "
+        "the TPU-native replacement for the reference's sequential grid "
+        "loop (SURVEY.md §2.2)",
+    )
     args = p.parse_args()
+
+    if args.grid:
+        run_grid_mode(args)
+        return
 
     base_cfg = default_config(
         DATA_PATH=args.data_path,
