@@ -5,11 +5,17 @@ loop (``inference_PCAA.py:195-221``) — thousands of tiny forward passes.
 Here every split is encoded in one jitted ``lax.scan`` over fixed-size
 chunks (pad + mask), so the whole likelihood pass is a handful of device
 executions regardless of split size.
+
+IMPORTANT: model parameters must be passed through ``params`` (explicit jit
+arguments), never closed over by ``fn`` — closure arrays become jaxpr
+*constants*, and with the 215M-parameter PCAA decoder that embeds ~860 MB
+into every compile (catastrophic over the axon remote-compile tunnel;
+observed 30+ min per inference pass before this was fixed).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,14 +23,18 @@ import numpy as np
 
 
 def batched_apply(
-    fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, ...]],
+    fn: Callable[..., Tuple[jnp.ndarray, ...]],
     x: np.ndarray,
     batch_size: int = 256,
+    params: Any = None,
 ):
-    """Apply ``fn`` over ``x`` in fixed-size chunks inside one jitted scan.
+    """Apply ``fn(chunk, params)`` over ``x`` in fixed-size chunks inside one
+    jitted scan.
 
-    ``fn`` maps ``(B, ...) -> tuple of (B, ...)`` arrays. ``x`` is padded to
-    a multiple of ``batch_size`` (padding rows are discarded from outputs).
+    ``fn`` maps ``(B, ...), params -> tuple of (B, ...)`` arrays. ``x`` is
+    padded to a multiple of ``batch_size`` (padding rows are discarded from
+    outputs). ``params`` is any pytree of arrays threaded through jit as a
+    real argument (see module docstring for why this is mandatory).
     """
     n = x.shape[0]
     steps = -(-n // batch_size)
@@ -33,12 +43,12 @@ def batched_apply(
     xp = jnp.asarray(xp).reshape((steps, batch_size) + x.shape[1:])
 
     @jax.jit
-    def run(xs):
+    def run(xs, params):
         def body(_, chunk):
-            return None, fn(chunk)
+            return None, fn(chunk, params)
 
         _, outs = jax.lax.scan(body, None, xs)
         return outs
 
-    outs = jax.device_get(run(xp))
+    outs = jax.device_get(run(xp, params))
     return tuple(o.reshape((-1,) + o.shape[2:])[:n] for o in outs)

@@ -109,20 +109,23 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def fwd(chunk):
+    def fwd(chunk, params):
+        e_vars, d_vars = params
         if on_tpu:
             logits, z, mu, logvar = fused_orced_encoder_apply(
-                enc_vars, chunk, key, use_pallas=True
+                e_vars, chunk, key, use_pallas=True
             )
         else:
             logits, z, mu, logvar = encoder.apply(
-                enc_vars, chunk, train=False, rngs={"reparam": key}
+                e_vars, chunk, train=False, rngs={"reparam": key}
             )
-        rec = decoder.apply(dec_vars, z)
+        rec = decoder.apply(d_vars, z)
         re = seq_chamfer(rec, chunk, avg_out=False)
         return logits.argmax(axis=1), z, re
 
-    preds, zs, res = batched_apply(fwd, x, batch_size)
+    preds, zs, res = batched_apply(
+        fwd, x, batch_size, params=(enc_vars, dec_vars)
+    )
     return preds.astype(np.int64), zs, res
 
 
@@ -157,8 +160,13 @@ def orced_inference_setup(
         nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
     )
     mean_learner = GaussianMeanLearner(cfg.SUP_LATENT_DIM)
-    enc_vars = load_params(module_path(run_dir, model_name, "E"))
-    dec_vars = load_params(module_path(run_dir, model_name, "G"))
+    import jax
+
+    # Pin weights on device once — host-numpy params re-upload per jit call
+    # otherwise (the 860 MB decoder costs ~minutes per transfer over the
+    # axon tunnel).
+    enc_vars = jax.device_put(load_params(module_path(run_dir, model_name, "E")))
+    dec_vars = jax.device_put(load_params(module_path(run_dir, model_name, "G")))
     ml_vars = load_params(module_path(run_dir, model_name, "ML"))
 
     # cluster means: eval-mode mean learner on the identity one-hots

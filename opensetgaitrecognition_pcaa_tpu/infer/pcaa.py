@@ -99,7 +99,8 @@ def pcaa_inference_setup(
         dtc_filters=tuple(cfg.DTC_FILTERS),
         use_projection_head=use_head,
     )
-    enc_vars = load_params(module_path(run_dir, model_name, "E"))
+    # Pin on device once so repeated jitted passes don't re-upload weights.
+    enc_vars = jax.device_put(load_params(module_path(run_dir, model_name, "E")))
     means = np.load(os.path.join(run_dir, "discriminator_means.npy"))
     return cfg, encoder, enc_vars, means
 
@@ -118,19 +119,19 @@ def _encode_split(encoder, enc_vars, dataset: RadarCropDataset, batch_size=256):
     x, _ = dataset.load_all()
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def fwd(chunk):
+    def fwd(chunk, variables):
         if on_tpu:
             logits, fv = fused_encoder_apply(
-                enc_vars,
+                variables,
                 chunk,
                 use_projection_head=encoder.use_projection_head,
                 use_pallas=True,
             )
         else:
-            logits, fv = encoder.apply(enc_vars, chunk, train=False)
+            logits, fv = encoder.apply(variables, chunk, train=False)
         return fv, logits.argmax(axis=1)
 
-    fvs, preds = batched_apply(fwd, x, batch_size)
+    fvs, preds = batched_apply(fwd, x, batch_size, params=enc_vars)
     return fvs, preds.astype(np.int64)
 
 
