@@ -117,6 +117,11 @@ class Config:
     # "bfloat16" (2x MXU throughput; params, accumulation and BatchNorm
     # statistics stay float32).
     COMPUTE_DTYPE: str = "float32"
+    # Route the training-step encoder through the fused Pallas PointNet
+    # pipeline (ops/pallas/pointnet_train.py): per-layer matmul + BN-stat
+    # accumulation in one pass, normalize+ELU folded into the next layer's
+    # read. Numerically equal to the flax path (gradient-parity tested).
+    FUSED_POINTNET: bool = False
     # Persist the full training state (params + Adam moments + BN stats +
     # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
     # default: with the 215M-param decoder a full-state save moves ~2.6 GB

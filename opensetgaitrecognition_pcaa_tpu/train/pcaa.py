@@ -234,6 +234,23 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         # jax.vjp: one forward here, and its pullback supplies the encoder
         # gradients for the generator loss — no second forward.
         def enc_fwd(enc_params):
+            if cfg.FUSED_POINTNET:
+                from opensetgaitrecognition_pcaa_tpu.train.fused_encoder import (
+                    fused_train_encoder_apply,
+                )
+
+                logits, fv, new_bs = fused_train_encoder_apply(
+                    enc_params,
+                    state.batch_stats["encoder"],
+                    pcs,
+                    use_projection_head=spec.use_enc_head,
+                    store_dtype=(
+                        jnp.bfloat16
+                        if cfg.COMPUTE_DTYPE == "bfloat16"
+                        else jnp.float32
+                    ),
+                )
+                return (logits, fv), new_bs
             (logits, fv), muts = mods.encoder.apply(
                 {
                     "params": enc_params,
