@@ -13,7 +13,7 @@ import dataclasses
 import json
 import os
 from enum import Enum
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 class SPLIT(Enum):

@@ -26,7 +26,7 @@ Parity quirk kept: the latent "covariance" passed to the cdf is
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

@@ -18,7 +18,6 @@ unlike the reference which transposes from torch's ``(B, C, T, N)``
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -14,7 +14,6 @@ gradients in the exact flax tree structure — the trainer swaps this in for
 
 from __future__ import annotations
 
-import copy
 from typing import Dict, Tuple
 
 import jax
