@@ -12,6 +12,13 @@ Forward only, wrapped in ``jax.custom_vjp``: the backward recomputes the
 argmin picks, which are cheap to rebuild and would otherwise have to be
 stored. ``avg_out`` semantics match ``seq_chamfer`` (reference
 ``utils.py:98-107``).
+
+MEASURED (v5e, B=16, T=30): forward — 2.89 vs 2.93 ms at N=150 and 3.06 vs
+3.38 ms at N=512 (Pallas vs XLA; the fusion wins more as N grows);
+forward+backward — the scatter-add recompute backward is slower than XLA's
+native VJP (6.7 vs 5.1 ms at N=150), so the TRAINING path keeps
+``ops/chamfer.py`` and this kernel serves forward-only consumers (e.g.
+ORCED's per-sample reconstruction errors) and large-N inference.
 """
 
 from __future__ import annotations
@@ -22,42 +29,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chamfer_frame_kernel(x_ref, y_ref, out_ref):
-    """Per-(b,t) frame: bidirectional sum-of-min squared distances.
+_FRAMES_PER_STEP = 8  # sublane-aligned output tile (Mosaic requires 8×…)
 
-    x_ref: (1, N, C) gt points; y_ref: (1, M, C) pred points; out_ref: (1, 1).
+
+def _chamfer_frame_kernel(x_ref, y_ref, out_ref):
+    """8 frames per step: bidirectional sum-of-min squared distances.
+
+    x_ref: (8, N, C) gt points; y_ref: (8, M, C) pred points; out_ref: (8, 1).
+    The per-frame N×M distance matrices live only in VMEM/registers.
     """
-    x = x_ref[0]
-    y = y_ref[0]
-    xx = jnp.sum(x * x, axis=1)[:, None]  # (N, 1)
-    yy = jnp.sum(y * y, axis=1)[None, :]  # (1, M)
-    xy = jax.lax.dot_general(
-        x,
-        y,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, M)
-    p = xx + yy - 2.0 * xy
-    loss_1 = jnp.sum(jnp.min(p, axis=0))  # min over gt per pred point
-    loss_2 = jnp.sum(jnp.min(p, axis=1))  # min over pred per gt point
-    out_ref[0, 0] = loss_1 + loss_2
+    frames = x_ref.shape[0]
+
+    def frame_loss(fi, _):
+        x = x_ref[fi]
+        y = y_ref[fi]
+        # Augmented-feature trick: fold the squared norms into the matmul so
+        # the full distance matrix is ONE contraction — Mosaic cannot
+        # relayout the (N,1)+(1,M) rank-1 broadcasts the naive xxᵀ+yyᵀ−2xyᵀ
+        # formulation needs:
+        #   [-2x, ‖x‖², 1] · [y, 1, ‖y‖²]ᵀ = ‖x‖² + ‖y‖² − 2x·y
+        ones_x = jnp.ones((x.shape[0], 1), jnp.float32)
+        ones_y = jnp.ones((y.shape[0], 1), jnp.float32)
+        x_aug = jnp.concatenate(
+            [-2.0 * x, jnp.sum(x * x, axis=1, keepdims=True), ones_x], axis=1
+        )
+        y_aug = jnp.concatenate(
+            [y, ones_y, jnp.sum(y * y, axis=1, keepdims=True)], axis=1
+        )
+        p = jax.lax.dot_general(
+            x_aug,
+            y_aug,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, M) squared distances
+        # keep reductions 2-D: Mosaic cannot relayout the 1-D intermediates
+        loss_1 = jnp.sum(jnp.min(p, axis=0, keepdims=True))  # min over gt
+        loss_2 = jnp.sum(jnp.min(p, axis=1, keepdims=True))  # min over pred
+        # fori_loop (not unroll) so the (N, M) buffer is reused per frame —
+        # 8 unrolled copies blow the 16 MB VMEM budget at N=1024. Vector
+        # store: Mosaic cannot store scalars to VMEM.
+        out_ref[pl.ds(fi, 1), :] = (loss_1 + loss_2).reshape(1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, frames, frame_loss, 0)
 
 
 def _chamfer_frames(gts_flat: jnp.ndarray, preds_flat: jnp.ndarray) -> jnp.ndarray:
     """→ (F,) per-frame chamfer sums for flattened (F, N, C) clouds."""
     f, n, c = gts_flat.shape
     m = preds_flat.shape[1]
+    fps = _FRAMES_PER_STEP
+    f_pad = -(-f // fps) * fps
+    if f_pad != f:
+        pad = ((0, f_pad - f), (0, 0), (0, 0))
+        gts_flat = jnp.pad(gts_flat, pad)
+        preds_flat = jnp.pad(preds_flat, pad)
     out = pl.pallas_call(
         _chamfer_frame_kernel,
-        grid=(f,),
+        grid=(f_pad // fps,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fps, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fps, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, 1), jnp.float32),
+        out_specs=pl.BlockSpec((fps, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),
     )(gts_flat, preds_flat)
-    return out[:, 0]
+    return out[:f, 0]
 
 
 def _forward(preds: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
@@ -130,10 +167,20 @@ def _chamfer_bt_bwd(res, g):
 _chamfer_bt.defvjp(_chamfer_bt_fwd, _chamfer_bt_bwd)
 
 
+# Above this many points per cloud the per-frame (N, M) distance matrix plus
+# operands no longer fit the ~16 MB VMEM budget at 8 frames/step; fall back
+# to the XLA path (a frame-tiled variant is the TODO for larger clouds).
+_MAX_FUSED_POINTS = 640
+
+
 def seq_chamfer_pallas(
     preds: jnp.ndarray, gts: jnp.ndarray, avg_out: bool = True
 ) -> jnp.ndarray:
     """Drop-in for ``ops.chamfer.seq_chamfer`` with the fused Pallas forward."""
+    if max(preds.shape[2], gts.shape[2]) > _MAX_FUSED_POINTS:
+        from opensetgaitrecognition_pcaa_tpu.ops.chamfer import seq_chamfer
+
+        return seq_chamfer(preds, gts, avg_out=avg_out)
     total = _chamfer_bt(preds, gts)
     if avg_out:
         return jnp.mean(total)

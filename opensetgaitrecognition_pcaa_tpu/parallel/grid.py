@@ -28,6 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from opensetgaitrecognition_pcaa_tpu.config import VARIATION, Config
+from opensetgaitrecognition_pcaa_tpu.train.orced import (
+    build_orced,
+    make_orced_train_step,
+)
 from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
     VARIANTS,
     build_pcaa,
@@ -288,3 +292,108 @@ class GridPCAATrainer:
         return [
             jax.tree_util.tree_map(lambda x: x[r], payload) for r in range(self.R)
         ]
+
+
+class GridORCEDTrainer:
+    """Lockstep trainer for R same-shape OR-CED runs (reference grid:
+    ``train_ORCED.py:283-329``, sequential). Same machinery as
+    :class:`GridPCAATrainer` — per-run schedules with masking, run axis
+    shardable over the mesh — plus the per-epoch KL annealing scalar."""
+
+    def __init__(
+        self,
+        cfgs: Sequence[Config],
+        train_sets: Sequence[Tuple[np.ndarray, np.ndarray]],
+        mesh=None,
+    ):
+        assert len(cfgs) == len(train_sets) >= 1
+        assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
+        self.cfgs = list(cfgs)
+        self.cfg = cfgs[0]
+        self.R = len(cfgs)
+
+        states = []
+        for c in cfgs:
+            models, st = build_orced(c, jax.random.PRNGKey(c.SEED))
+            states.append(st)
+        self.models = models
+        self.states = _stack_states(states)
+
+        self.x, self.y, self.n_real = pad_datasets(train_sets)
+        self.x = jnp.asarray(self.x)
+        self.y = jnp.asarray(self.y)
+        self._host_rngs = [np.random.default_rng(c.SEED) for c in cfgs]
+        self._steps_per_run = self.n_real // self.cfg.BATCH_SIZE
+        self._max_steps = int(self._steps_per_run.max())
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            run_sh = NamedSharding(mesh, P("data"))
+            self.states = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, run_sh), self.states
+            )
+            self.x = jax.device_put(self.x, run_sh)
+            self.y = jax.device_put(self.y, run_sh)
+
+        train_step = make_orced_train_step(self.models, self.cfg)
+
+        def epoch_fn(states, x, y, perms, steps_per_run, kl_mult):
+            def body(states, step_and_idx):
+                step_idx, idx = step_and_idx
+
+                def one_run(state, x_r, y_r, idx_r, active):
+                    pcs = jnp.take(x_r, idx_r, axis=0)
+                    labels = jnp.take(y_r, idx_r, axis=0)
+                    new_state, metrics = train_step(
+                        state, pcs, labels, step_idx, kl_mult
+                    )
+                    new_state = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(active, new, old),
+                        new_state,
+                        state,
+                    )
+                    metrics = jax.tree_util.tree_map(
+                        lambda m: jnp.where(active, m, jnp.nan), metrics
+                    )
+                    return new_state, metrics
+
+                active = step_idx < steps_per_run
+                return jax.vmap(one_run)(states, x, y, idx, active)
+
+            steps = jnp.arange(perms.shape[1])
+            perms_t = jnp.swapaxes(perms, 0, 1)
+            return jax.lax.scan(body, states, (steps, perms_t))
+
+        self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def run_epoch(self, epoch: int) -> Dict[str, np.ndarray]:
+        B = self.cfg.BATCH_SIZE
+        perms = np.zeros((self.R, self._max_steps, B), dtype=np.int32)
+        for r in range(self.R):
+            order = self._host_rngs[r].permutation(int(self.n_real[r]))
+            s = int(self._steps_per_run[r])
+            perms[r, :s] = order[: s * B].reshape(s, B)
+        kl_mult = jnp.float32(epoch / self.cfg.EPOCHS)  # train_ORCED.py:122
+        self.states, metrics = self._epoch_fn(
+            self.states,
+            self.x,
+            self.y,
+            jnp.asarray(perms),
+            jnp.asarray(self._steps_per_run),
+            kl_mult,
+        )
+        metrics = jax.device_get(metrics)
+        out: Dict[str, np.ndarray] = {}
+        for k, v in metrics.items():
+            if k == "n_correct":
+                out["train_accuracy"] = np.nansum(v, axis=0) / (
+                    self._steps_per_run * B
+                )
+            else:
+                out[k] = np.nanmean(v, axis=0)
+        return out
+
+    def per_run_states(self) -> List:
+        states = jax.device_get(self.states)
+        return [_unstack_state(states, r) for r in range(self.R)]

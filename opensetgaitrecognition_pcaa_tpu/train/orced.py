@@ -106,7 +106,8 @@ def build_orced(cfg: Config, key: jax.Array):
     return (encoder, decoder, mean_learner, tx), state
 
 
-def make_orced_epoch_fns(models, cfg: Config):
+def make_orced_train_step(models, cfg: Config):
+    """Single jittable ORCED train step (exposed for the grid trainer)."""
     encoder, decoder, mean_learner, tx = models
     n = cfg.n_classes
 
@@ -175,6 +176,13 @@ def make_orced_epoch_fns(models, cfg: Config):
             state.replace(params=new_params, batch_stats=new_bs, opt=new_opt),
             metrics,
         )
+
+    return train_step
+
+
+def make_orced_epoch_fns(models, cfg: Config):
+    encoder, decoder, mean_learner, tx = models
+    train_step = make_orced_train_step(models, cfg)
 
     def train_epoch(state, x_all, y_all, perm, kl_mult):
         def body(state, step_and_idx):

@@ -16,6 +16,7 @@ from opensetgaitrecognition_pcaa_tpu.config import Config, SPLIT, VARIATION
 from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
 from opensetgaitrecognition_pcaa_tpu.parallel import create_mesh
 from opensetgaitrecognition_pcaa_tpu.parallel.grid import (
+    GridORCEDTrainer,
     GridPCAATrainer,
     pad_datasets,
 )
@@ -119,6 +120,24 @@ class TestGridTrainer:
         m = trainer.run_epoch(0)
         assert np.isfinite(m["tot_loss"]).all()
         assert trainer._steps_per_run[1] < trainer._steps_per_run[0]
+
+    def test_orced_grid_runs(self, generated_splits, tmp_path, arrays):
+        gen, _ = generated_splits
+        x_t, y_t, _, _ = arrays
+        cfgs = [
+            tiny_config(gen, tmp_path, f"OG{r}", EPOCHS=2, SEED=r)
+            for r in range(2)
+        ]
+        trainer = GridORCEDTrainer(cfgs, train_sets=[(x_t, y_t)] * 2)
+        m0 = trainer.run_epoch(0)
+        m1 = trainer.run_epoch(1)
+        assert m0["tot_loss"].shape == (2,)
+        assert np.isfinite(m0["tot_loss"]).all()
+        # KL anneals from 0 → epoch-0 KL must be exactly 0, epoch-1 > 0
+        assert np.allclose(m0["kl_loss"], 0.0)
+        assert (np.abs(m1["kl_loss"]) > 0).all()
+        states = trainer.per_run_states()
+        assert len(states) == 2
 
     def test_sharded_over_mesh(self, generated_splits, tmp_path, arrays):
         if len(jax.devices()) < 8:
