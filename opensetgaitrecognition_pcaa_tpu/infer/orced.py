@@ -120,7 +120,16 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
                 e_vars, chunk, train=False, rngs={"reparam": key}
             )
         rec = decoder.apply(d_vars, z)
-        re = seq_chamfer(rec, chunk, avg_out=False)
+        if on_tpu:
+            # forward-only per-sample Chamfer → the fused kernel (no HBM
+            # distance tensor; equal-or-faster than XLA forward, measured)
+            from opensetgaitrecognition_pcaa_tpu.ops.pallas import (
+                seq_chamfer_pallas,
+            )
+
+            re = seq_chamfer_pallas(rec, chunk, avg_out=False)
+        else:
+            re = seq_chamfer(rec, chunk, avg_out=False)
         return logits.argmax(axis=1), z, re
 
     preds, zs, res = batched_apply(
