@@ -98,7 +98,7 @@ def run_grid_mode(args):
 
         for v in args.variants:
             variation = VARIATION(v)
-            cfgs = [
+            all_cfgs = [
                 base_cfg.replace(
                     MODEL_NAME=f"{args.model_name_base}{v}.{n_tr}.{i + 1}",
                     TRAIN_CLASSES=tuple(subsets[i]),
@@ -109,60 +109,91 @@ def run_grid_mode(args):
                 )
                 for i in range(args.n_tests)
             ]
-            print(f"=== grid-training {v} n_tr={n_tr} ({args.n_tests} splits) ===")
-            trainer = GridPCAATrainer(
-                cfgs,
-                variation,
-                train_sets=[d[0] for d in data],
-                valid_sets=[d[1] for d in data],
-                mesh=mesh,
-            )
-            loggers = []
-            for cfg in cfgs:
-                os.makedirs(cfg.run_dir(), exist_ok=True)
-                cfg.save(os.path.join(cfg.run_dir(), "config.json"))
-                loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
-
-            for epoch in range(base_cfg.EPOCHS):
-                m = trainer.run_epoch(epoch)
-                if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
-                    vacc = trainer.valid_accuracy()
-                    trainer.note_validation(vacc)
-                for r, logger in enumerate(loggers):
-                    logger.log(
-                        {
-                            "Total Loss Train": float(m["tot_loss"][r]),
-                            "Discriminator Loss": float(m["d_loss"][r]),
-                            "Train Accuracy": float(m["train_accuracy"][r]),
-                        },
-                        step=epoch,
-                    )
-
-            payloads = trainer.best_run_payloads()
-            best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
-            for r, (cfg, payload, logger) in enumerate(
-                zip(cfgs, payloads, loggers)
-            ):
-                _checkpoint(cfg.run_dir(), cfg.MODEL_NAME, trainer.mods, payload, cfg)
-                if not VARIANTS[variation].learned_centroids:
-                    save_array(
-                        np.asarray(
-                            jax.device_get(trainer.states.centroids)[0]
-                            if hasattr(trainer.states.centroids, "ndim")
-                            and trainer.states.centroids.ndim == 3
-                            else jax.device_get(trainer.states.centroids)
-                        ),
-                        os.path.join(cfg.run_dir(), "discriminator_means.npy"),
-                    )
-                logger.finish()
-                mark_run_completed(
-                    cfg.run_dir(),
-                    {"best_valid_accuracy": float(best_accs[r])},
+            # chunk to device-memory capacity (runs beyond it would OOM HBM)
+            cap = args.grid_runs_per_device * max(n_dev, 1)
+            chunks = [
+                list(range(c, min(c + cap, args.n_tests)))
+                for c in range(0, args.n_tests, cap)
+            ]
+            for chunk in chunks:
+                cfgs = [all_cfgs[i] for i in chunk]
+                chunk_data = [data[i] for i in chunk]
+                print(
+                    f"=== grid-training {v} n_tr={n_tr} "
+                    f"(splits {[i + 1 for i in chunk]} lockstep) ==="
                 )
-            print(
-                f"    best valid accs: "
-                f"{np.round(getattr(trainer, '_best_accs', np.zeros(1)), 4)}"
+                run_grid_chunk(args, cfgs, variation, chunk_data, mesh, base_cfg)
+
+
+def run_grid_chunk(args, cfgs, variation, data, mesh, base_cfg):
+    import json
+
+    import jax
+
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridPCAATrainer
+    from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+        VARIANTS,
+        _checkpoint,
+    )
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+        mark_run_completed,
+        save_array,
+    )
+    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+
+    trainer = GridPCAATrainer(
+        cfgs,
+        variation,
+        train_sets=[d[0] for d in data],
+        valid_sets=[d[1] for d in data],
+        mesh=mesh,
+    )
+    loggers = []
+    for cfg in cfgs:
+        os.makedirs(cfg.run_dir(), exist_ok=True)
+        cfg.save(os.path.join(cfg.run_dir(), "config.json"))
+        loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
+
+    for epoch in range(base_cfg.EPOCHS):
+        m = trainer.run_epoch(epoch)
+        if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
+            vacc = trainer.valid_accuracy()
+            trainer.note_validation(vacc)
+        for r, logger in enumerate(loggers):
+            logger.log(
+                {
+                    "Total Loss Train": float(m["tot_loss"][r]),
+                    "Discriminator Loss": float(m["d_loss"][r]),
+                    "Train Accuracy": float(m["train_accuracy"][r]),
+                },
+                step=epoch,
             )
+
+    payloads = trainer.best_run_payloads()
+    best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
+    for r, (cfg, payload, logger) in enumerate(
+        zip(cfgs, payloads, loggers)
+    ):
+        _checkpoint(cfg.run_dir(), cfg.MODEL_NAME, trainer.mods, payload, cfg)
+        if not VARIANTS[variation].learned_centroids:
+            save_array(
+                np.asarray(
+                    jax.device_get(trainer.states.centroids)[0]
+                    if hasattr(trainer.states.centroids, "ndim")
+                    and trainer.states.centroids.ndim == 3
+                    else jax.device_get(trainer.states.centroids)
+                ),
+                os.path.join(cfg.run_dir(), "discriminator_means.npy"),
+            )
+        logger.finish()
+        mark_run_completed(
+            cfg.run_dir(),
+            {"best_valid_accuracy": float(best_accs[r])},
+        )
+    print(
+        f"    best valid accs: "
+        f"{np.round(getattr(trainer, '_best_accs', np.zeros(1)), 4)}"
+    )
 
 
 def main():
@@ -180,6 +211,14 @@ def main():
         "--no-skip-completed",
         action="store_true",
         help="retrain runs whose folder already has a completion marker",
+    )
+    p.add_argument(
+        "--grid-runs-per-device",
+        type=int,
+        default=2,
+        help="lockstep runs per device in --grid mode (2 saturates a v5e's "
+        "16 GB HBM at reference dims: ~3.5 GB params+moments+grads per run "
+        "plus data); splits beyond capacity train in sequential chunks",
     )
     p.add_argument(
         "--grid",
