@@ -27,6 +27,7 @@ def batched_apply(
     x: np.ndarray,
     batch_size: int = 256,
     params: Any = None,
+    with_index: bool = False,
 ):
     """Apply ``fn(chunk, params)`` over ``x`` in fixed-size chunks inside one
     jitted scan.
@@ -35,6 +36,11 @@ def batched_apply(
     padded to a multiple of ``batch_size`` (padding rows are discarded from
     outputs). ``params`` is any pytree of arrays threaded through jit as a
     real argument (see module docstring for why this is mandatory).
+
+    ``with_index=True`` calls ``fn(chunk, params, step_idx)`` instead, so
+    stochastic passes can fold the chunk index into their PRNG key (fresh
+    noise per chunk rather than the same noise rows repeating every
+    ``batch_size`` samples).
     """
     n = x.shape[0]
     steps = -(-n // batch_size)
@@ -44,10 +50,13 @@ def batched_apply(
 
     @jax.jit
     def run(xs, params):
-        def body(_, chunk):
+        def body(_, step_and_chunk):
+            step_idx, chunk = step_and_chunk
+            if with_index:
+                return None, fn(chunk, params, step_idx)
             return None, fn(chunk, params)
 
-        _, outs = jax.lax.scan(body, None, xs)
+        _, outs = jax.lax.scan(body, None, (jnp.arange(steps), xs))
         return outs
 
     outs = jax.device_get(run(xp, params))

@@ -109,15 +109,19 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def fwd(chunk, params):
+    def fwd(chunk, params, step_idx):
+        # fold the chunk index in → fresh reparam noise per chunk (the
+        # reference draws fresh torch noise per batch; a fixed key would
+        # repeat the same eps rows every batch_size samples).
+        k = jax.random.fold_in(key, step_idx)
         e_vars, d_vars = params
         if on_tpu:
             logits, z, mu, logvar = fused_orced_encoder_apply(
-                e_vars, chunk, key, use_pallas=True
+                e_vars, chunk, k, use_pallas=True
             )
         else:
             logits, z, mu, logvar = encoder.apply(
-                e_vars, chunk, train=False, rngs={"reparam": key}
+                e_vars, chunk, train=False, rngs={"reparam": k}
             )
         rec = decoder.apply(d_vars, z)
         if on_tpu:
@@ -133,7 +137,7 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
         return logits.argmax(axis=1), z, re
 
     preds, zs, res = batched_apply(
-        fwd, x, batch_size, params=(enc_vars, dec_vars)
+        fwd, x, batch_size, params=(enc_vars, dec_vars), with_index=True
     )
     return preds.astype(np.int64), zs, res
 
@@ -214,7 +218,9 @@ def orced_inference(
             data_path=data_path,
             generate_dataset=generate_dataset,
         )
-        key = jax.random.PRNGKey(seed)
+        # distinct keys per pass: the reference draws fresh torch noise for
+        # every batch of every loader (advisor round-1 finding 2)
+        key_tr, key_te, key_un = jax.random.split(jax.random.PRNGKey(seed), 3)
 
         ds_train = RadarCropDataset(SPLIT.TRAIN, cfg.GEN_DATA_PATH)
         ds_test = RadarCropDataset(SPLIT.TEST, cfg.GEN_DATA_PATH)
@@ -225,7 +231,7 @@ def orced_inference(
         x_tr, y_tr = ds_train.load_all()
         n_keep = (len(y_tr) // batch_size) * batch_size
         tr_preds, tr_z, tr_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key_tr, batch_size
         )
         gt_labels = y_tr[:n_keep].astype(np.int64)
         n_labels = len(np.unique(gt_labels))
@@ -234,7 +240,7 @@ def orced_inference(
         # seen test set
         x_te, y_te = ds_test.load_all()
         te_preds, te_z, te_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_te, key, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_te, key_te, batch_size
         )
         test_open_preds = orced_ensemble_ood_detection(
             tr_re, tr_z, thresholds_g, gt_labels, tr_preds, te_preds, te_z, te_re
@@ -244,7 +250,7 @@ def orced_inference(
         # PCAA's validation subject); batch-level filter by first label.
         x_un, y_un = ds_unseen.load_all()
         un_preds, un_z, un_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_un, key, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_un, key_un, batch_size
         )
         leave_out = int(y_un[0])
         keep = []

@@ -52,6 +52,7 @@ from opensetgaitrecognition_pcaa_tpu.models import CGEncoder
 from opensetgaitrecognition_pcaa_tpu.ops import (
     best_youden_threshold,
     log_joint_likelihood,
+    underflow_tied,
 )
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
     load_params,
@@ -201,8 +202,15 @@ def naive_sequential_procedure(
     test_fvs, test_preds = _encode_split(encoder, enc_vars, ds_test)
     unseen_fvs, unseen_preds = _encode_split(encoder, enc_vars, ds_unseen)
 
-    test_ll = np.asarray(log_joint_likelihood(test_fvs, discriminator_means))
-    unseen_ll = np.asarray(log_joint_likelihood(unseen_fvs, discriminator_means))
+    # underflow_tied: scores whose linear-space pdf underflows to 0.0 are
+    # tied in the reference's roc_curve — replicate those ties so log-space
+    # decisions match the reference's even in the underflow regime.
+    test_ll = underflow_tied(
+        np.asarray(log_joint_likelihood(test_fvs, discriminator_means))
+    )
+    unseen_ll = underflow_tied(
+        np.asarray(log_joint_likelihood(unseen_fvs, discriminator_means))
+    )
 
     # --- 20% of unseen subjects → threshold-validation set -------------
     unseen_labels = ds_unseen.labels

@@ -11,6 +11,7 @@ from opensetgaitrecognition_pcaa_tpu.ops.openset import (  # noqa: F401
     log_joint_likelihood,
     normal_pdf,
     openness,
+    underflow_tied,
 )
 from opensetgaitrecognition_pcaa_tpu.ops.centroids import (  # noqa: F401
     sample_distant_points,

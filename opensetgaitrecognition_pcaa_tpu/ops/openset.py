@@ -44,6 +44,25 @@ def log_joint_likelihood(x: np.ndarray, means: np.ndarray) -> np.ndarray:
     return out if out.shape[0] > 1 else out[0]
 
 
+def underflow_tied(log_scores: np.ndarray) -> np.ndarray:
+    """Replicate the reference's linear-space underflow ties.
+
+    The reference scores samples with the raw mixture pdf
+    (``inference_PCAA.py:129-136``), whose ~1e-40-scale values underflow
+    float64 to exact ``0.0`` for far-out latents; all such samples are TIED
+    in ``sklearn.roc_curve`` and sit below any positive threshold. Pure
+    log-space scoring would break those ties and could accept a sample the
+    reference rejects. Mapping every log-score whose ``exp`` underflows to
+    ``-inf`` makes the log-space score vector order-isomorphic to the
+    reference's linear one *including ties*, so ROC thresholding and
+    ``> threshold`` decisions match bit-for-bit (tested in
+    ``tests/test_decision_parity.py`` on an underflow-heavy regime).
+    """
+    ls = np.asarray(log_scores, dtype=np.float64)
+    with np.errstate(under="ignore"):
+        return np.where(np.exp(ls) == 0.0, -np.inf, ls)
+
+
 def roc_points(y_true: np.ndarray, scores: np.ndarray):
     """ROC curve points (fpr, tpr, thresholds), sklearn-compatible ordering.
 
@@ -58,7 +77,8 @@ def roc_points(y_true: np.ndarray, scores: np.ndarray):
     order = np.argsort(-scores, kind="mergesort")
     y_sorted = y_true[order]
     s_sorted = scores[order]
-    distinct = np.where(np.diff(s_sorted))[0]
+    # != (not np.diff) so ±inf ties are detected (diff(-inf, -inf) is NaN)
+    distinct = np.where(s_sorted[1:] != s_sorted[:-1])[0]
     idx = np.r_[distinct, len(s_sorted) - 1]
     tps = np.cumsum(y_sorted)[idx]
     fps = (1 + idx) - tps

@@ -74,16 +74,58 @@ def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
     out_ref[:] = jnp.mean(h.reshape(frames, n, -1), axis=1)
 
 
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # ~16 MiB/core minus compiler slack
+
+
+def fits_vmem(n: int, c: int, d: int, fps: int = _FRAMES_PER_STEP) -> bool:
+    """Conservative VMEM estimate for one kernel step.
+
+    Modeled as resident at once: the four folded weight matrices, the
+    double-buffered ``(fps, N, C)`` input tile, the widest live intermediate
+    of the matmul chain (``(fps·N, D)`` — Mosaic reuses the narrower
+    predecessors' space), and the output tile. Calibration point: reference
+    dims N=150/D=1024 ≈ 11.8 MiB — known to compile and run on a real v5e
+    (round-1 drives, 9307 w/s); the 14 MiB budget puts the crossover at
+    N≈218 for D=1024. Larger clouds fall back to the folded-XLA path (same
+    math, layer-by-layer in HBM) — mirroring the chamfer kernel's N>640
+    guard (``chamfer_kernel.py``).
+    """
+    weights = (c * (d // 2) + (d // 2) ** 2 + (d // 2) * d + d * d + 4 * d) * 4
+    x_tile = 2 * fps * n * c * 4
+    h_peak = fps * n * d * 4
+    out_tile = 2 * fps * d * 4
+    return weights + x_tile + h_peak + out_tile <= _VMEM_BUDGET_BYTES
+
+
+def _pointnet_pool_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Folded-XLA fallback: identical math, per-layer activations in HBM."""
+    h = x.astype(jnp.float32)
+    for i in range(1, 5):
+        h = jax.nn.elu(
+            jnp.einsum(
+                "btnc,cd->btnd",
+                h,
+                folded[f"w{i}"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            + folded[f"b{i}"].astype(jnp.float32)
+        )
+    return jnp.mean(h, axis=2)
+
+
 def pointnet_pool_infer(
     x: jnp.ndarray, folded: Dict[str, jnp.ndarray]
 ) -> jnp.ndarray:
     """Fused eval PointNet+pool: ``(B, T, N, C) → (B, T, D)``.
 
     ``folded``: dict with ``w1..w4`` / ``b1..b4`` — BN-folded layer weights
-    (see :func:`fold_batchnorm`).
+    (see :func:`fold_batchnorm`). Self-guarding: point counts whose working
+    set exceeds VMEM fall back to the folded-XLA path.
     """
     b, t, n, c = x.shape
     d = folded["w4"].shape[1]
+    if not fits_vmem(n, c, d):
+        return _pointnet_pool_xla(x, folded)
     f = b * t
     fps = _FRAMES_PER_STEP
     f_pad = -(-f // fps) * fps

@@ -183,9 +183,16 @@ class GridPCAATrainer:
 
         self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
 
-        def valid_fn(states, xv, yv, perms):
-            def body(carry, idx):  # idx: (R, B)
-                def one_run(state, x_r, y_r, idx_r):
+        def valid_fn(states, xv, yv, perms, vsteps_per_run):
+            """Per-run drop_last valid loops in lockstep: runs with fewer
+            valid batches are masked out for the trailing steps, so every
+            run is scored on its OWN full valid split (same masking pattern
+            as the train epoch; matches the solo trainer / reference)."""
+
+            def body(carry, step_and_idx):  # idx: (R, B)
+                step_idx, idx = step_and_idx
+
+                def one_run(state, x_r, y_r, idx_r, active):
                     pcs = jnp.take(x_r, idx_r, axis=0)
                     labels = jnp.take(y_r, idx_r, axis=0)
                     variables = {
@@ -196,13 +203,15 @@ class GridPCAATrainer:
                         variables, pcs, train=False
                     )
                     correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
-                    return correct.astype(jnp.float32)
+                    return jnp.where(active, correct.astype(jnp.float32), 0.0)
 
-                return carry, jax.vmap(one_run)(states, xv, yv, idx)
+                active = step_idx < vsteps_per_run  # (R,)
+                return carry, jax.vmap(one_run)(states, xv, yv, idx, active)
 
+            steps = jnp.arange(perms.shape[1])
             perms_t = jnp.swapaxes(perms, 0, 1)
-            _, corrects = jax.lax.scan(body, None, perms_t)
-            return corrects  # (steps, R)
+            _, corrects = jax.lax.scan(body, None, (steps, perms_t))
+            return corrects  # (max_steps, R)
 
         self._valid_fn = jax.jit(valid_fn)
 
@@ -233,18 +242,26 @@ class GridPCAATrainer:
         return out
 
     def valid_accuracy(self) -> np.ndarray:
-        """Per-run validation accuracy (R,), drop_last batching."""
+        """Per-run validation accuracy (R,): each run scored on its own full
+        valid split with drop_last batching (per-run step counts, masked)."""
         assert self.xv is not None
         B = self.cfg.BATCH_SIZE
-        steps = int(self.nv_real.min()) // B
-        perms = np.stack(
-            [
-                np.arange(steps * B, dtype=np.int32).reshape(steps, B)
-                for _ in range(self.R)
-            ]
+        vsteps = self.nv_real // B  # (R,) per-run drop_last step counts
+        max_steps = int(vsteps.max())
+        perms = np.zeros((self.R, max_steps, B), dtype=np.int32)
+        for r in range(self.R):
+            s = int(vsteps[r])
+            perms[r, :s] = np.arange(s * B, dtype=np.int32).reshape(s, B)
+        corrects = jax.device_get(
+            self._valid_fn(
+                self.states,
+                self.xv,
+                self.yv,
+                jnp.asarray(perms),
+                jnp.asarray(vsteps),
+            )
         )
-        corrects = jax.device_get(self._valid_fn(self.states, self.xv, self.yv, jnp.asarray(perms)))
-        return corrects.sum(axis=0) / (steps * B)
+        return corrects.sum(axis=0) / (vsteps * B)
 
     def per_run_states(self) -> List:
         """Unstack to per-run PCAAState pytrees (host) for checkpointing."""
@@ -304,6 +321,7 @@ class GridORCEDTrainer:
         self,
         cfgs: Sequence[Config],
         train_sets: Sequence[Tuple[np.ndarray, np.ndarray]],
+        valid_sets: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
         mesh=None,
     ):
         assert len(cfgs) == len(train_sets) >= 1
@@ -322,6 +340,12 @@ class GridORCEDTrainer:
         self.x, self.y, self.n_real = pad_datasets(train_sets)
         self.x = jnp.asarray(self.x)
         self.y = jnp.asarray(self.y)
+        if valid_sets is not None:
+            self.xv, self.yv, self.nv_real = pad_datasets(valid_sets)
+            self.xv = jnp.asarray(self.xv)
+            self.yv = jnp.asarray(self.yv)
+        else:
+            self.xv = None
         self._host_rngs = [np.random.default_rng(c.SEED) for c in cfgs]
         self._steps_per_run = self.n_real // self.cfg.BATCH_SIZE
         self._max_steps = int(self._steps_per_run.max())
@@ -335,6 +359,9 @@ class GridORCEDTrainer:
             )
             self.x = jax.device_put(self.x, run_sh)
             self.y = jax.device_put(self.y, run_sh)
+            if self.xv is not None:
+                self.xv = jax.device_put(self.xv, run_sh)
+                self.yv = jax.device_put(self.yv, run_sh)
 
         train_step = make_orced_train_step(self.models, self.cfg)
 
@@ -366,6 +393,112 @@ class GridORCEDTrainer:
             return jax.lax.scan(body, states, (steps, perms_t))
 
         self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+        encoder = self.models[0]
+
+        def valid_fn(states, xv, yv, perms, vsteps_per_run, epoch_keys):
+            """Per-run drop_last valid accuracy, lockstep + masking.
+
+            ``epoch_keys``: (R, 2) uint32 — per-run ``fold_in(PRNGKey(SEED),
+            epoch)`` keys, so the eval-mode reparam noise stream is
+            bit-identical to the solo trainer's ``valid_epoch``."""
+
+            def body(carry, step_and_idx):
+                step_idx, idx = step_and_idx  # idx: (R, B)
+
+                def one_run(state, x_r, y_r, idx_r, active, key_r):
+                    pcs = jnp.take(x_r, idx_r, axis=0)
+                    labels = jnp.take(y_r, idx_r, axis=0)
+                    logits, z, mu, logvar = encoder.apply(
+                        {
+                            "params": state.params["encoder"],
+                            "batch_stats": state.batch_stats["encoder"],
+                        },
+                        pcs,
+                        train=False,
+                        rngs={"reparam": jax.random.fold_in(key_r, step_idx)},
+                    )
+                    correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+                    return jnp.where(active, correct.astype(jnp.float32), 0.0)
+
+                active = step_idx < vsteps_per_run
+                return carry, jax.vmap(one_run)(
+                    states, xv, yv, idx, active, epoch_keys
+                )
+
+            steps = jnp.arange(perms.shape[1])
+            perms_t = jnp.swapaxes(perms, 0, 1)
+            _, corrects = jax.lax.scan(body, None, (steps, perms_t))
+            return corrects  # (max_steps, R)
+
+        self._valid_fn = jax.jit(valid_fn)
+
+    def valid_accuracy(self, epoch: int) -> np.ndarray:
+        """Per-run valid accuracy (R,), each run on its own full valid split
+        (drop_last), with the solo trainer's per-epoch reparam key stream."""
+        assert self.xv is not None
+        B = self.cfg.BATCH_SIZE
+        vsteps = self.nv_real // B
+        max_steps = int(vsteps.max())
+        perms = np.zeros((self.R, max_steps, B), dtype=np.int32)
+        for r in range(self.R):
+            s = int(vsteps[r])
+            perms[r, :s] = np.arange(s * B, dtype=np.int32).reshape(s, B)
+        epoch_keys = jnp.stack(
+            [
+                jax.random.fold_in(jax.random.PRNGKey(c.SEED), epoch)
+                for c in self.cfgs
+            ]
+        )
+        corrects = jax.device_get(
+            self._valid_fn(
+                self.states,
+                self.xv,
+                self.yv,
+                jnp.asarray(perms),
+                jnp.asarray(vsteps),
+                epoch_keys,
+            )
+        )
+        return corrects.sum(axis=0) / (vsteps * B)
+
+    # --- per-run best-by-validation tracking (same machinery as PCAA) ------
+    def _ckpt_payload_stacked(self):
+        return {
+            "params": self.states.params,
+            "batch_stats": self.states.batch_stats,
+        }
+
+    def note_validation(self, valid_accs: np.ndarray) -> np.ndarray:
+        """Track each run's best-by-validation payload on device; returns
+        the improved mask (reference ``train_ORCED.py:255-276``)."""
+        if not hasattr(self, "_best_accs"):
+            self._best_accs = np.full(self.R, -np.inf)
+            self._best_payload = jax.tree_util.tree_map(
+                jnp.copy, self._ckpt_payload_stacked()
+            )
+        improved = valid_accs > self._best_accs
+        self._best_accs = np.maximum(self._best_accs, valid_accs)
+        if improved.any():
+            mask = jnp.asarray(improved)
+
+            def pick(new, old):
+                m = mask.reshape((self.R,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            self._best_payload = jax.tree_util.tree_map(
+                pick, self._ckpt_payload_stacked(), self._best_payload
+            )
+        return improved
+
+    def best_run_payloads(self) -> List[dict]:
+        """→ per-run ``{"params", "batch_stats"}`` dicts (single host fetch)."""
+        payload = jax.device_get(
+            getattr(self, "_best_payload", None) or self._ckpt_payload_stacked()
+        )
+        return [
+            jax.tree_util.tree_map(lambda x: x[r], payload) for r in range(self.R)
+        ]
 
     def run_epoch(self, epoch: int) -> Dict[str, np.ndarray]:
         B = self.cfg.BATCH_SIZE

@@ -42,9 +42,11 @@ from opensetgaitrecognition_pcaa_tpu.ops import (
 )
 from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    load_best_payload,
     load_train_state,
     mark_run_completed,
     module_path,
+    save_best_payload,
     save_params,
     save_train_state,
 )
@@ -112,7 +114,9 @@ def make_orced_train_step(models, cfg: Config):
     n = cfg.n_classes
 
     def train_step(state: ORCEDState, pcs, labels, step_idx, kl_mult):
-        key = jax.random.fold_in(state.key, step_idx)
+        # Carried key advances each step → fresh VAE reparam noise every
+        # batch of every epoch (the reference draws unseeded torch noise).
+        new_key, key = jax.random.split(state.key)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
 
         def loss_fn(params):
@@ -173,7 +177,9 @@ def make_orced_train_step(models, cfg: Config):
             "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
         }
         return (
-            state.replace(params=new_params, batch_stats=new_bs, opt=new_opt),
+            state.replace(
+                params=new_params, batch_stats=new_bs, opt=new_opt, key=new_key
+            ),
             metrics,
         )
 
@@ -228,6 +234,29 @@ def make_orced_epoch_fns(models, cfg: Config):
     return (
         jax.jit(train_epoch, donate_argnums=(0,)),
         jax.jit(valid_epoch),
+    )
+
+
+def write_orced_checkpoint(run_dir: str, name: str, payload) -> None:
+    """Write the reference's E/G/ML module checkpoints
+    (``train_ORCED.py:255-276`` semantics) from a
+    ``{"params", "batch_stats"}`` payload."""
+    save_params(
+        {
+            "params": payload["params"]["encoder"],
+            "batch_stats": payload["batch_stats"]["encoder"],
+        },
+        module_path(run_dir, name, "E"),
+    )
+    save_params(
+        {"params": payload["params"]["decoder"]}, module_path(run_dir, name, "G")
+    )
+    save_params(
+        {
+            "params": payload["params"]["mean_learner"],
+            "batch_stats": payload["batch_stats"]["mean_learner"],
+        },
+        module_path(run_dir, name, "ML"),
     )
 
 
@@ -291,23 +320,7 @@ def train_orced(
         )
 
     def write_checkpoint(payload):
-        save_params(
-            {
-                "params": payload["params"]["encoder"],
-                "batch_stats": payload["batch_stats"]["encoder"],
-            },
-            module_path(run_dir, name, "E"),
-        )
-        save_params(
-            {"params": payload["params"]["decoder"]}, module_path(run_dir, name, "G")
-        )
-        save_params(
-            {
-                "params": payload["params"]["mean_learner"],
-                "batch_stats": payload["batch_stats"]["mean_learner"],
-            },
-            module_path(run_dir, name, "ML"),
-        )
+        write_orced_checkpoint(run_dir, name, payload)
 
     best_valid_acc = 0.0
     best_payload = None
@@ -319,6 +332,10 @@ def train_orced(
             state, start_epoch, meta = restored
             host_rng.bit_generator.state = meta["host_rng_state"]
             best_valid_acc = meta.get("best_valid_acc", 0.0)
+            best_payload = load_best_payload(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                ckpt_path,
+            )
             if verbose:
                 print(f"[{name}] resuming from epoch {start_epoch}")
 
@@ -365,7 +382,8 @@ def train_orced(
             )
 
         if epoch % cfg.CHECKPOINT_FREQUENCY == 0:
-            if valid_acc > best_valid_acc:
+            improved = valid_acc > best_valid_acc
+            if improved:
                 best_valid_acc = valid_acc
                 best_payload = snapshot()
             if cfg.SAVE_RESUME_STATE:
@@ -376,6 +394,8 @@ def train_orced(
                     ckpt_path,
                     extra={"best_valid_acc": best_valid_acc},
                 )
+                if improved:
+                    save_best_payload(best_payload, ckpt_path)
         out = dict(epoch_metrics)
 
     elapsed = time.time() - t_start

@@ -65,10 +65,12 @@ from opensetgaitrecognition_pcaa_tpu.ops import (
 )
 from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+    load_best_payload,
     load_train_state,
     mark_run_completed,
     module_path,
     save_array,
+    save_best_payload,
     save_params,
     save_train_state,
 )
@@ -224,8 +226,10 @@ def make_train_step(mods: PCAAModules, cfg: Config):
     latent = cfg.SUP_LATENT_DIM
 
     def step(state: PCAAState, pcs, labels, step_idx):
-        key = jax.random.fold_in(state.key, step_idx)
-        k_z, k_alpha = jax.random.split(key)
+        # Fresh noise every batch, like the reference's unseeded torch RNG
+        # (train_AAE.py:173-179): the carried key advances each step, so z0
+        # and the GP alphas never repeat across epochs.
+        new_key, k_z, k_alpha = jax.random.split(state.key, 3)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
 
         # --- ONE encoder forward (train mode) for the whole step ----------
@@ -384,6 +388,7 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             batch_stats=batch_stats,
             opt_g=new_opt_g,
             opt_d=new_opt_d,
+            key=new_key,
         )
         return new_state, metrics
 
@@ -618,6 +623,10 @@ def train_pcaa(
             state, start_epoch, meta = restored
             host_rng.bit_generator.state = meta["host_rng_state"]
             best_valid_acc = meta.get("best_valid_acc", 0.0)
+            # restore the best-so-far weights too, so the run-end write
+            # never regresses to the final state when the restored best
+            # accuracy is never beaten post-resume.
+            best_payload = load_best_payload(_ckpt_payload(state), ckpt_path)
             if verbose:
                 print(f"[{name}] resuming from epoch {start_epoch}")
 
@@ -674,7 +683,8 @@ def train_pcaa(
         # best-by-valid-accuracy checkpoint every CHECKPOINT_FREQUENCY epochs
         # (reference PCAA_ablation.py:1087-1119, epoch 0 included).
         if epoch % cfg.CHECKPOINT_FREQUENCY == 0:
-            if valid_acc > best_valid_acc:
+            improved = valid_acc > best_valid_acc
+            if improved:
                 best_valid_acc = valid_acc
                 # device-side snapshot now, single host fetch at run end
                 best_payload = _snapshot(_ckpt_payload(state))
@@ -687,6 +697,8 @@ def train_pcaa(
                     ckpt_path,
                     extra={"best_valid_acc": best_valid_acc},
                 )
+                if improved:
+                    save_best_payload(best_payload, ckpt_path)
 
         out = dict(epoch_metrics)
 

@@ -97,6 +97,29 @@ def load_train_state(template_state, path: str):
     return state, meta["epoch"] + 1, meta
 
 
+def save_best_payload(payload, path: str) -> None:
+    """Persist the best-by-validation weights next to the resume state.
+
+    Without this, a resumed run whose restored ``best_valid_acc`` is never
+    beaten would fall back to writing its FINAL weights as the module
+    checkpoints — silently breaking the best-by-valid contract (the true
+    best weights lived only on device when the run was interrupted)."""
+    from flax import serialization as ser
+
+    with open(path + ".best", "wb") as f:
+        f.write(ser.to_bytes(jax.device_get(payload)))
+
+
+def load_best_payload(template_payload, path: str):
+    """→ the persisted best payload, or None if none was ever written."""
+    from flax import serialization as ser
+
+    if not os.path.exists(path + ".best"):
+        return None
+    with open(path + ".best", "rb") as f:
+        return ser.from_bytes(template_payload, f.read())
+
+
 def run_completed(run_dir: str) -> bool:
     """True if this run folder has its completion marker (grid resumability:
     the reference re-runs everything after a crash, SURVEY.md §5)."""

@@ -1,7 +1,14 @@
 #!/usr/bin/env python
 """OR-CED baseline grid (reference ``train_ORCED.py:283-329`` __main__):
 same openness × split structure as the PCAA ablation, run names
-``ORCED_.{n_tr}.{i}``, ORCED loss weights all 1, triplet margin 0.5."""
+``ORCED_.{n_tr}.{i}``, ORCED loss weights all 1, triplet margin 0.5.
+
+``--grid`` trains all splits of an openness level in lockstep on one device
+mesh (``parallel.grid.GridORCEDTrainer``) — the TPU-native replacement for
+the reference's sequential grid loop — with the same best-by-valid-accuracy
+checkpointing every CHECKPOINT_FREQUENCY epochs (``train_ORCED.py:255-276``)
+and per-run E/G/ML run folders as the sequential path.
+"""
 
 import argparse
 import os
@@ -19,6 +26,106 @@ from opensetgaitrecognition_pcaa_tpu.train.run_folder import run_completed
 from scripts.run_pcaa_ablation import unique_class_subsets
 
 
+def run_grid_mode(args, base_cfg):
+    import jax
+
+    from opensetgaitrecognition_pcaa_tpu.config import SPLIT
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridORCEDTrainer
+    from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
+    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+    from opensetgaitrecognition_pcaa_tpu.train.orced import write_orced_checkpoint
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import mark_run_completed
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(n_dev) if n_dev > 1 else None
+
+    rng = np.random.default_rng(0)
+    for n_tr in args.n_training_classes:
+        subsets = unique_class_subsets(n_tr, args.n_tests, rng)
+
+        gen_dirs, data = [], []
+        for i, classes in enumerate(subsets):
+            gen_i = f"{args.gen_data_path}_orcedgrid{n_tr}_{i}"
+            generate_splits(
+                data_path=args.data_path,
+                gen_data_path=gen_i,
+                train_classes=classes,
+                seed=0,
+                nmax_points=base_cfg.NMAX,
+                nsteps=base_cfg.NSTEPS,
+                crop_step=base_cfg.CROP_STEP,
+                verbose=False,
+            )
+            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_i).load_all()
+            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_i).load_all()
+            gen_dirs.append(gen_i)
+            data.append(((x_t, y_t), (x_v, y_v)))
+
+        all_cfgs = [
+            base_cfg.replace(
+                MODEL_NAME=f"{args.model_name_base}.{n_tr}.{i + 1}",
+                TRAIN_CLASSES=tuple(subsets[i]),
+                Openness=openness(n_tr, N_SUBJECTS),
+                GEN_DATA_PATH=gen_dirs[i],
+                SEED=i,
+                NOTES="Grid-parallel ORCED run",
+            )
+            for i in range(args.n_tests)
+        ]
+        # chunk to device-memory capacity (runs beyond it would OOM HBM)
+        cap = args.grid_runs_per_device * max(n_dev, 1)
+        chunks = [
+            list(range(c, min(c + cap, args.n_tests)))
+            for c in range(0, args.n_tests, cap)
+        ]
+        for chunk in chunks:
+            cfgs = [all_cfgs[i] for i in chunk]
+            chunk_data = [data[i] for i in chunk]
+            print(
+                f"=== grid-training ORCED n_tr={n_tr} "
+                f"(splits {[i + 1 for i in chunk]} lockstep) ==="
+            )
+            trainer = GridORCEDTrainer(
+                cfgs,
+                train_sets=[d[0] for d in chunk_data],
+                valid_sets=[d[1] for d in chunk_data],
+                mesh=mesh,
+            )
+            loggers = []
+            for cfg in cfgs:
+                os.makedirs(cfg.run_dir(), exist_ok=True)
+                cfg.save(os.path.join(cfg.run_dir(), "config.json"))
+                loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
+
+            for epoch in range(base_cfg.EPOCHS):
+                m = trainer.run_epoch(epoch)
+                if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
+                    vacc = trainer.valid_accuracy(epoch)
+                    trainer.note_validation(vacc)
+                for r, logger in enumerate(loggers):
+                    logger.log(
+                        {
+                            "Total Loss Train": float(m["tot_loss"][r]),
+                            "KL Loss": float(m["kl_loss"][r]),
+                            "Triplet Loss": float(m["trip_loss"][r]),
+                            "Train Accuracy": float(m["train_accuracy"][r]),
+                        },
+                        step=epoch,
+                    )
+
+            payloads = trainer.best_run_payloads()
+            best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
+            for r, (cfg, payload, logger) in enumerate(zip(cfgs, payloads, loggers)):
+                write_orced_checkpoint(cfg.run_dir(), cfg.MODEL_NAME, payload)
+                logger.finish()
+                mark_run_completed(
+                    cfg.run_dir(),
+                    {"best_valid_accuracy": float(best_accs[r])},
+                )
+            print(f"    best valid accs: {np.round(best_accs, 4)}")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-path", required=True)
@@ -30,6 +137,19 @@ def main():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--wandb-mode", default="disabled")
     p.add_argument("--no-skip-completed", action="store_true")
+    p.add_argument(
+        "--grid",
+        action="store_true",
+        help="train all splits of each openness level in lockstep on one "
+        "device mesh (parallel/grid.py) instead of sequentially",
+    )
+    p.add_argument(
+        "--grid-runs-per-device",
+        type=int,
+        default=2,
+        help="lockstep runs per device in --grid mode; splits beyond "
+        "HBM capacity train in sequential chunks",
+    )
     args = p.parse_args()
 
     base_cfg = default_config(
@@ -45,16 +165,23 @@ def main():
     if args.epochs:
         base_cfg = base_cfg.replace(EPOCHS=args.epochs)
 
+    if args.grid:
+        run_grid_mode(args, base_cfg)
+        return
+
     rng = np.random.default_rng(0)
     for n_tr in args.n_training_classes:
         for i, train_classes in enumerate(
             unique_class_subsets(n_tr, args.n_tests, rng)
         ):
             name = f"{args.model_name_base}.{n_tr}.{i + 1}"
+            # SEED=i: distinct per-run init/shuffle/noise streams, matching
+            # --grid mode (the reference varies via unseeded torch RNG).
             cfg = base_cfg.replace(
                 MODEL_NAME=name,
                 TRAIN_CLASSES=tuple(train_classes),
                 Openness=openness(n_tr, N_SUBJECTS),
+                SEED=i,
                 NOTES="ORCED grid run",
             )
             if not args.no_skip_completed and run_completed(cfg.run_dir()):

@@ -247,9 +247,13 @@ def main():
         for i, train_classes in enumerate(
             unique_class_subsets(n_tr, args.n_tests, rng)
         ):
+            # SEED=i so the 5 splits of an openness level get distinct
+            # init/shuffle/noise streams (the reference's runs differ via
+            # unseeded torch RNG, train_AAE.py:173-179); matches --grid mode.
             cfg = base_cfg.replace(
                 TRAIN_CLASSES=tuple(train_classes),
                 Openness=openness(n_tr, N_SUBJECTS),
+                SEED=i,
             )
             generate_splits(
                 data_path=cfg.DATA_PATH,

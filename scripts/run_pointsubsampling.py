@@ -61,11 +61,14 @@ def main():
                 # Effective per-run config (the reference mutates the shared
                 # CONFIG's NMAX in place, train_pointsubsampling.py:53 —
                 # here each run snapshot is immutable).
+                # SEED=i: splits of an openness level get distinct init/
+                # shuffle/noise streams, like the other grid drivers.
                 cfg = base_cfg.replace(
                     NMAX=n_points,
                     TRAIN_CLASSES=tuple(train_classes),
                     Openness=openness(n_tr, N_SUBJECTS),
                     MODEL_NAME=f"{args.model_name_base}{n_points}.{n_tr}.{i + 1}",
+                    SEED=i,
                     NOTES=f"Runs with different number of points "
                     f"({n_points}.{n_tr}.{i + 1})",
                 )

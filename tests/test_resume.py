@@ -100,6 +100,58 @@ class TestTrainingResume:
         for k in ("Total Loss Train", "Train Accuracy", "Valid Accuracy"):
             assert out_a[k] == pytest.approx(out_b[k], rel=1e-4), k
 
+    def test_resume_preserves_best_payload(
+        self, generated_splits, tmp_path, arrays
+    ):
+        """If no post-resume epoch beats the restored best_valid_acc, the
+        final module checkpoint must still hold the pre-interrupt BEST
+        weights — not silently fall back to the final training state
+        (advisor round-1 finding #4)."""
+        from opensetgaitrecognition_pcaa_tpu.train.pcaa import _ckpt_payload
+        from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+            load_best_payload,
+            load_params,
+            module_path,
+        )
+
+        gen, _ = generated_splits
+        cfg = tiny_config(
+            gen, tmp_path, "BESTKEEP", EPOCHS=1, CHECKPOINT_FREQUENCY=1,
+            SAVE_RESUME_STATE=True,
+        )
+        train_pcaa(cfg, VARIATION.V4, datasets=arrays, verbose=False)
+        ckpt = os.path.join(cfg.run_dir(), "train_state.msgpack")
+        assert os.path.exists(ckpt + ".best"), "best payload not persisted"
+
+        # make the restored best unbeatable → post-resume epochs never improve
+        with open(ckpt + ".meta.json") as f:
+            meta = json.load(f)
+        meta["best_valid_acc"] = 1.0
+        with open(ckpt + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+        train_pcaa(cfg.replace(EPOCHS=3), VARIATION.V4, datasets=arrays, verbose=False)
+
+        # module checkpoint == persisted best payload (epoch-0 weights)...
+        _, template = build_pcaa(
+            cfg, VARIANTS[VARIATION.V4], jax.random.PRNGKey(cfg.SEED)
+        )
+        best = load_best_payload(_ckpt_payload(template), ckpt)
+        enc = load_params(module_path(cfg.run_dir(), "BESTKEEP", "E"))
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            enc["params"],
+            best["params_g"]["encoder"],
+        )
+        # ...and NOT the final training state (which trained 2 more epochs)
+        final_state, _, _ = load_train_state(template, ckpt)
+        with pytest.raises(AssertionError):
+            jax.tree_util.tree_map(
+                np.testing.assert_array_equal,
+                enc["params"],
+                jax.device_get(final_state.params_g["encoder"]),
+            )
+
     def test_run_completed_marker(self, generated_splits, tmp_path, arrays):
         gen, _ = generated_splits
         cfg = tiny_config(gen, tmp_path, "MARKER", EPOCHS=1)
