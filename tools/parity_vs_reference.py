@@ -123,23 +123,18 @@ def _stub_pytorch_metric_learning():
             if indices_tuple is None or len(indices_tuple[0]) == 0:
                 return embeddings.sum() * 0.0
             a1, p, a2, nn_ = indices_tuple
-            trip_a, trip_p, trip_n = [], [], []
-            pos_by_anchor = {}
-            for a, pp in zip(a1.tolist(), p.tolist()):
-                pos_by_anchor.setdefault(a, []).append(pp)
-            for a, nn2 in zip(a2.tolist(), nn_.tolist()):
-                for pp in pos_by_anchor.get(a, ()):
-                    trip_a.append(a)
-                    trip_p.append(pp)
-                    trip_n.append(nn2)
-            if not trip_a:
+            n = embeddings.shape[0]
+            keep_pos = torch.zeros((n, n), dtype=torch.bool, device=embeddings.device)
+            keep_neg = torch.zeros((n, n), dtype=torch.bool, device=embeddings.device)
+            keep_pos[a1, p] = True
+            keep_neg[a2, nn_] = True
+            # all (a, p, n) combos sharing the anchor (vectorized over B³)
+            valid = keep_pos.unsqueeze(2) & keep_neg.unsqueeze(1)
+            if not valid.any():
                 return embeddings.sum() * 0.0
-            ea = embeddings[trip_a]
-            ep = embeddings[trip_p]
-            en = embeddings[trip_n]
-            d_ap = torch.norm(ea - ep, dim=1)
-            d_an = torch.norm(ea - en, dim=1)
-            viol = torch.relu(d_ap - d_an + self.margin)
+            d = torch.cdist(embeddings, embeddings, p=2)
+            viol = torch.relu(d.unsqueeze(2) - d.unsqueeze(1) + self.margin)
+            viol = torch.where(valid, viol, torch.zeros_like(viol))
             nz = viol > 0
             if nz.sum() == 0:
                 return embeddings.sum() * 0.0
@@ -303,32 +298,32 @@ def run_single_seed(args) -> dict:
         _update_no_tex, inference_PCAA.plt.rcParams
     )
     ks = [int(k) for k in args.ks]
-    with open(os.path.join(seed_dir, "ref_infer.log"), "w") as log:
-        with contextlib.redirect_stdout(log):
-            inference_PCAA.CGAAE_inference(
-                [ref_name], ks=ks, variation=inference_PCAA.VARIATION.V4
-            )
-    ref_metrics = {}
+    from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
+
+    # One k per CGAAE_inference call: its setup regenerates the splits for
+    # EVERY k (the pad/subsample draws differ each time), so the framework
+    # must score right after each regeneration to see identical crops.
+    ref_metrics, fw_metrics = {}, {}
     for k in ks:
+        with open(os.path.join(seed_dir, "ref_infer.log"), "a") as log:
+            with contextlib.redirect_stdout(log):
+                inference_PCAA.CGAAE_inference(
+                    [ref_name], ks=[k], variation=inference_PCAA.VARIATION.V4
+                )
         with open(
             os.path.join(ref_dir, "models", ref_name, f"naive_seq_log_{k}.json")
         ) as f:
             ref_metrics[str(k)] = json.load(f)
 
-    # --- framework inference on the SAME regenerated crops ----------------
-    print(f"[seed {seed}] framework open-set inference...")
-    from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
-
-    pcaa_inference(
-        [fw_name],
-        ks,
-        models_path=fw_models,
-        figures_path=os.path.join(seed_dir, "figures_fw"),
-        variation=VARIATION.V4,
-        generate_dataset=False,
-    )
-    fw_metrics = {}
-    for k in ks:
+        print(f"[seed {seed}] framework open-set inference (k={k})...")
+        pcaa_inference(
+            [fw_name],
+            [k],
+            models_path=fw_models,
+            figures_path=os.path.join(seed_dir, "figures_fw"),
+            variation=VARIATION.V4,
+            generate_dataset=False,
+        )
         with open(os.path.join(fw_models, fw_name, f"naive_seq_log_{k}.json")) as f:
             fw_metrics[str(k)] = json.load(f)
 
