@@ -292,5 +292,14 @@ def orced_inference(
             os.path.join(figures_folder, "ensemble_ood_final_labels_fixed.npy"),
             final_labels,
         )
+        # beyond-reference: persist the metrics next to the run (the
+        # reference only PRINTS them, inference_ORCED.py:425-428), so
+        # scripts/collect_results.py can aggregate ORCED cells too.
+        from opensetgaitrecognition_pcaa_tpu.infer.artifacts import save_json
+
+        save_json(
+            metrics,
+            os.path.join(models_path, model_name, "ensemble_ood_log.json"),
+        )
         results[model_name] = metrics
     return results

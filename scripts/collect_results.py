@@ -32,7 +32,11 @@ def collect(models_path: str):
         meta = m.groupdict() if m else {"base": run, "variant": None, "n_tr": "?", "split": "?"}
         for f in sorted(os.listdir(run_dir)):
             lm = LOG_RE.match(f)
-            if not lm:
+            if lm:
+                k = int(lm.group("k"))
+            elif f == "ensemble_ood_log.json":  # ORCED ensemble metrics
+                k = "ens"
+            else:
                 continue
             with open(os.path.join(run_dir, f)) as fh:
                 log = json.load(fh)
@@ -42,11 +46,11 @@ def collect(models_path: str):
                     "variant": meta["variant"] or "?",
                     "n_train": meta["n_tr"],
                     "split": meta["split"],
-                    "k": int(lm.group("k")),
+                    "k": k,
                     **{
-                        k: log[k]
-                        for k in ("accuracy", "f1_micro", "f1_macro", "f1_weighted")
-                        if k in log
+                        k2: log[k2]
+                        for k2 in ("accuracy", "f1_micro", "f1_macro", "f1_weighted")
+                        if k2 in log
                     },
                 }
             )
@@ -59,7 +63,7 @@ def to_markdown(rows) -> str:
     header = "| run | variant | n_train | split | k | accuracy | f1_micro | f1_macro | f1_weighted |"
     sep = "|" + "---|" * 9
     lines = [header, sep]
-    for r in sorted(rows, key=lambda r: (r["variant"], r["n_train"], r["split"], r["k"])):
+    for r in sorted(rows, key=lambda r: (r["variant"], r["n_train"], r["split"], str(r["k"]))):
         lines.append(
             f"| {r['run']} | {r['variant']} | {r['n_train']} | {r['split']} "
             f"| {r['k']} | {r.get('accuracy', float('nan')):.4f} "
@@ -75,7 +79,7 @@ def to_markdown(rows) -> str:
     lines.append("\n### Means across splits\n")
     lines.append("| variant | n_train | k | accuracy | f1_micro | f1_macro | f1_weighted |")
     lines.append("|" + "---|" * 7)
-    for (v, n, k), rs in sorted(groups.items()):
+    for (v, n, k), rs in sorted(groups.items(), key=lambda it: tuple(map(str, it[0]))):
         def mean(key):
             vals = [r[key] for r in rs if key in r]
             return sum(vals) / len(vals) if vals else float("nan")
