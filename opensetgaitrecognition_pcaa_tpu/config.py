@@ -122,6 +122,13 @@ class Config:
     # accumulation in one pass, normalize+ELU folded into the next layer's
     # read. Numerically equal to the flax path (gradient-parity tested).
     FUSED_POINTNET: bool = False
+    # Store Adam's SECOND moment in bf16 too (the first moment is already
+    # bf16 whenever COMPUTE_DTYPE is bfloat16). Saves a read+write of a
+    # param-sized f32 tree per step (~1.7 GB at reference dims — the step is
+    # HBM-bound on decoder optimizer traffic); arithmetic stays f32
+    # (train/optim.py). Gate: same synthetic valid-accuracy check as the
+    # bf16 compute path.
+    BF16_ADAM_NU: bool = False
     # Persist the full training state (params + Adam moments + BN stats +
     # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
     # default: with the 215M-param decoder a full-state save moves ~2.6 GB

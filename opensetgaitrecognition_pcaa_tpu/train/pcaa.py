@@ -191,10 +191,23 @@ def build_pcaa(
 
     # In bf16 mode the Adam first moments are also bf16 — the 215M-param
     # decoder makes optimizer-state traffic a first-order step cost (m/v are
-    # read+written every step); the second moment stays f32 for stability.
+    # read+written every step). BF16_ADAM_NU additionally narrows the second
+    # moment (arithmetic stays f32; train/optim.py).
     mu_dtype = dtype if cfg.COMPUTE_DTYPE == "bfloat16" else None
-    mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
-    mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
+    if cfg.BF16_ADAM_NU:
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_lowmem
+
+        mods.tx_g = adam_lowmem(
+            cfg.LR, b1=cfg.B1, b2=cfg.B2,
+            mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
+        )
+        mods.tx_d = adam_lowmem(
+            cfg.LR, b1=cfg.B1, b2=cfg.B2,
+            mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
+        )
+    else:
+        mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
+        mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
 
     state = PCAAState(
         params_g=params_g,
