@@ -129,6 +129,12 @@ class Config:
     # (train/optim.py). Gate: same synthetic valid-accuracy check as the
     # bf16 compute path.
     BF16_ADAM_NU: bool = False
+    # Apply the generator Adam update through the fused Pallas kernel
+    # (ops/pallas/adam_kernel.py). MEASURED SLOWER than XLA's native
+    # fusion (580 vs 837 w/s — see the kernel docstring); kept as a
+    # documented negative result. Same update math as optax.adam /
+    # adam_lowmem (f32 arithmetic), oracle-tested.
+    FUSED_ADAM: bool = False
     # Persist the full training state (params + Adam moments + BN stats +
     # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
     # default: with the 215M-param decoder a full-state save moves ~2.6 GB

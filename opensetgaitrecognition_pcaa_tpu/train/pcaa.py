@@ -194,16 +194,20 @@ def build_pcaa(
     # read+written every step). BF16_ADAM_NU additionally narrows the second
     # moment (arithmetic stays f32; train/optim.py).
     mu_dtype = dtype if cfg.COMPUTE_DTYPE == "bfloat16" else None
-    if cfg.BF16_ADAM_NU:
+    if cfg.BF16_ADAM_NU or cfg.FUSED_ADAM:
+        # FUSED_ADAM needs adam_lowmem's state layout even at f32 moments:
+        # the G step bypasses tx_g.update and writes the (count, mu, nu)
+        # fields directly through the fused kernel.
         from opensetgaitrecognition_pcaa_tpu.train.optim import adam_lowmem
 
+        nu_dtype = jnp.bfloat16 if cfg.BF16_ADAM_NU else None
         mods.tx_g = adam_lowmem(
             cfg.LR, b1=cfg.B1, b2=cfg.B2,
-            mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
         )
         mods.tx_d = adam_lowmem(
             cfg.LR, b1=cfg.B1, b2=cfg.B2,
-            mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
         )
     else:
         mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
@@ -384,8 +388,36 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         d_down, d_logits, d_fv = down_grads
         (enc_grads,) = enc_vjp((d_logits, d_fv))
         g_grads = {"encoder": enc_grads, **d_down}
-        g_updates, new_opt_g = mods.tx_g.update(g_grads, state.opt_g, state.params_g)
-        new_params_g = optax.apply_updates(state.params_g, g_updates)
+        if cfg.FUSED_ADAM:
+            # Single-pass Pallas update on the big decoder matrices: no
+            # materialized `updates` tree (PERF_ROOFLINE.md: the optax path
+            # runs the 217.7M-param update at ~1.5× minimum HBM traffic).
+            from opensetgaitrecognition_pcaa_tpu.ops.pallas.adam_kernel import (
+                fused_adam_tree_update,
+            )
+            from opensetgaitrecognition_pcaa_tpu.train.optim import (
+                ScaleByAdamLowmemState,
+            )
+
+            adam_st = state.opt_g[0]
+            new_params_g, cnt2, mu2, nu2 = fused_adam_tree_update(
+                g_grads,
+                adam_st.count,
+                adam_st.mu,
+                adam_st.nu,
+                state.params_g,
+                lr=cfg.LR,
+                b1=cfg.B1,
+                b2=cfg.B2,
+            )
+            new_opt_g = (ScaleByAdamLowmemState(cnt2, mu2, nu2),) + tuple(
+                state.opt_g[1:]
+            )
+        else:
+            g_updates, new_opt_g = mods.tx_g.update(
+                g_grads, state.opt_g, state.params_g
+            )
+            new_params_g = optax.apply_updates(state.params_g, g_updates)
 
         preds = jnp.argmax(logits0, axis=1)
         metrics = {

@@ -90,3 +90,79 @@ class TestAdamLowmem:
         leaf_nu = jax.tree_util.tree_leaves(inner.nu)[0]
         assert leaf_mu.dtype == jnp.bfloat16
         assert leaf_nu.dtype == jnp.bfloat16
+
+
+class TestFusedAdamTreeUpdate:
+    """ops/pallas/adam_kernel.py vs the optax oracle (same trajectory)."""
+
+    def _run_fused(self, params, n_steps=7, seed=1, **kw):
+        from opensetgaitrecognition_pcaa_tpu.ops.pallas.adam_kernel import (
+            fused_adam_tree_update,
+        )
+
+        rng = np.random.default_rng(seed)
+        count = jnp.zeros([], jnp.int32)
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for _ in range(n_steps):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32) * 0.1
+                ),
+                params,
+            )
+            params, count, mu, nu = fused_adam_tree_update(
+                grads, count, mu, nu, params,
+                lr=1e-3, b1=0.9, b2=0.99, **kw,
+            )
+        return params
+
+    def test_xla_path_matches_optax(self):
+        p0 = _params()
+        got = self._run_fused(dict(p0), use_pallas=False)
+        want = _run(optax.adam(1e-3, b1=0.9, b2=0.99), dict(p0))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            got,
+            want,
+        )
+
+    def test_pallas_path_matches_optax_interpret(self):
+        """Kernel path (interpret mode) incl. non-(8,128)-divisible edge
+        blocks: 136×648 → partial blocks on both grid axes."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(3)
+        p0 = {"big": jnp.asarray(rng.normal(size=(136, 648)).astype(np.float32))}
+        with pltpu.force_tpu_interpret_mode():
+            got = self._run_fused(
+                dict(p0), n_steps=3, use_pallas=True, min_kernel_elems=0
+            )
+        want = _run(optax.adam(1e-3, b1=0.9, b2=0.99), dict(p0), n_steps=3)
+        np.testing.assert_allclose(
+            np.asarray(got["big"]), np.asarray(want["big"]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_preserves_moment_dtypes(self):
+        from opensetgaitrecognition_pcaa_tpu.ops.pallas.adam_kernel import (
+            fused_adam_tree_update,
+        )
+
+        p = _params()
+        mu = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x, dtype=jnp.bfloat16), p
+        )
+        nu = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x, dtype=jnp.bfloat16), p
+        )
+        g = jax.tree_util.tree_map(jnp.ones_like, p)
+        p2, c2, mu2, nu2 = fused_adam_tree_update(
+            g, jnp.zeros([], jnp.int32), mu, nu, p,
+            lr=1e-3, b1=0.9, b2=0.99, use_pallas=False,
+        )
+        assert jax.tree_util.tree_leaves(mu2)[0].dtype == jnp.bfloat16
+        assert jax.tree_util.tree_leaves(nu2)[0].dtype == jnp.bfloat16
+        assert jax.tree_util.tree_leaves(p2)[0].dtype == jnp.float32
+        assert int(c2) == 1

@@ -169,3 +169,32 @@ class TestORCEDTraining:
         with open(os.path.join(cfg.run_dir(), "metrics.jsonl")) as f:
             first = json.loads(f.readline())
         assert first["KL Loss"] == 0.0
+
+
+class TestFusedAdamTrainer:
+    """Config.FUSED_ADAM routes the G update through
+    ops/pallas/adam_kernel.fused_adam_tree_update (XLA fallback on CPU —
+    same formula as the kernel, oracle-tested in tests/test_optim.py).
+    The trajectory must match the optax path."""
+
+    def test_fused_matches_optax_trajectory(self, generated_splits, tmp_path, arrays):
+        gen, _ = generated_splits
+        base = tiny_config(gen, tmp_path, "FADAM_OFF.3.1", EPOCHS=1)
+        fused = tiny_config(gen, tmp_path, "FADAM_ON.3.1", EPOCHS=1, FUSED_ADAM=True)
+        out_a = train_pcaa(base, VARIATION.V4, datasets=arrays, verbose=False)
+        out_b = train_pcaa(fused, VARIATION.V4, datasets=arrays, verbose=False)
+        for k in ("Total Loss Train", "Reconstruction Loss Train", "Valid Accuracy"):
+            np.testing.assert_allclose(out_a[k], out_b[k], rtol=2e-4, atol=2e-5)
+
+        # the D optimizer stays bitwise-optax (adam_lowmem f32/f32 oracle)
+        import flax.serialization as fser
+
+        wa = open(os.path.join(base.run_dir(), "FADAM_OFF.3.1_D.msgpack"), "rb").read()
+        wb = open(os.path.join(fused.run_dir(), "FADAM_ON.3.1_D.msgpack"), "rb").read()
+        da = fser.msgpack_restore(wa)
+        db = fser.msgpack_restore(wb)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
+            da,
+            db,
+        )
