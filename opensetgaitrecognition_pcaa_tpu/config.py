@@ -135,6 +135,13 @@ class Config:
     # documented negative result. Same update math as optax.adam /
     # adam_lowmem (f32 arithmetic), oracle-tested.
     FUSED_ADAM: bool = False
+    # Factored (Adafactor-style, f32) second moment on 2-D leaves >= 1M
+    # elements: eliminates the param-sized nu read+write on the 215M-param
+    # decoder (train/optim.py::adam_factored). Unlike BF16_ADAM_NU this
+    # keeps f32 EMA precision (bf16 nu measurably degrades valid accuracy:
+    # the (1-B2) increments round away at b2=0.99). Approximates the Adam
+    # denominator by a rank-1 factorization on those leaves.
+    FACTORED_ADAM_NU: bool = False
     # Persist the full training state (params + Adam moments + BN stats +
     # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
     # default: with the 215M-param decoder a full-state save moves ~2.6 GB

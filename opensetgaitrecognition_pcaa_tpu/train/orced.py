@@ -98,7 +98,24 @@ def build_orced(cfg: Config, key: jax.Array):
         "mean_learner": ml_vars["batch_stats"],
     }
     # Reference quirk: betas=(B1, B1) — see module docstring.
-    tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1)
+    # Optimizer fast paths mirror the PCAA trainer (decoder-dominated
+    # optimizer traffic is the same bottleneck here).
+    mu_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else None
+    if cfg.FACTORED_ADAM_NU:
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        tx = adam_factored(cfg.LR, b1=cfg.B1, b2=cfg.B1, mu_dtype=mu_dtype)
+    elif cfg.BF16_ADAM_NU:
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_lowmem
+
+        tx = adam_lowmem(
+            cfg.LR, b1=cfg.B1, b2=cfg.B1,
+            mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
+        )
+    else:
+        # default path unchanged from round 1 (f32 moments even in bf16
+        # compute — ORCED has not been through the mu-dtype quality gate)
+        tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1)
     state = ORCEDState(
         params=params,
         batch_stats=batch_stats,

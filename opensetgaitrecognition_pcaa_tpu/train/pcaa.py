@@ -194,7 +194,18 @@ def build_pcaa(
     # read+written every step). BF16_ADAM_NU additionally narrows the second
     # moment (arithmetic stays f32; train/optim.py).
     mu_dtype = dtype if cfg.COMPUTE_DTYPE == "bfloat16" else None
-    if cfg.BF16_ADAM_NU or cfg.FUSED_ADAM:
+    if cfg.FACTORED_ADAM_NU:
+        assert not cfg.FUSED_ADAM, "FACTORED_ADAM_NU and FUSED_ADAM are exclusive"
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        mods.tx_g = adam_factored(
+            cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype
+        )
+        # D params are far below the factoring threshold -> exact Adam
+        mods.tx_d = adam_factored(
+            cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype
+        )
+    elif cfg.BF16_ADAM_NU or cfg.FUSED_ADAM:
         # FUSED_ADAM needs adam_lowmem's state layout even at f32 moments:
         # the G step bypasses tx_g.update and writes the (count, mu, nu)
         # fields directly through the fused kernel.

@@ -166,3 +166,72 @@ class TestFusedAdamTreeUpdate:
         assert jax.tree_util.tree_leaves(nu2)[0].dtype == jnp.bfloat16
         assert jax.tree_util.tree_leaves(p2)[0].dtype == jnp.float32
         assert int(c2) == 1
+
+
+class TestAdamFactored:
+    def test_small_leaves_match_optax(self):
+        """Leaves below the factoring threshold are exact Adam."""
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        p0 = _params()
+        got = _run(adam_factored(1e-3, b1=0.9, b2=0.99), dict(p0))
+        want = _run(optax.adam(1e-3, b1=0.9, b2=0.99), dict(p0))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            got,
+            want,
+        )
+
+    def test_rank1_gradient_is_exact(self):
+        """On a factored leaf, a rank-1 |g| makes the factorization exact:
+        R_i·C_j/ΣR == (g²)_ij, so one step reproduces optax.adam."""
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(24, 1)).astype(np.float32)
+        b = rng.normal(size=(1, 40)).astype(np.float32)
+        g = {"w": jnp.asarray(a @ b)}
+        p = {"w": jnp.zeros((24, 40), jnp.float32)}
+
+        tx = adam_factored(1e-3, b1=0.9, b2=0.99, min_elems=1)
+        s = tx.init(p)
+        u, _ = tx.update(g, s, p)
+
+        txo = optax.adam(1e-3, b1=0.9, b2=0.99)
+        so = txo.init(p)
+        uo, _ = txo.update(g, so, p)
+        np.testing.assert_allclose(
+            np.asarray(u["w"]), np.asarray(uo["w"]), rtol=1e-4, atol=1e-6
+        )
+
+    def test_factored_state_is_tiny(self):
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        p = {"w": jnp.zeros((64, 128), jnp.float32)}
+        tx = adam_factored(1e-3, min_elems=1)
+        s = tx.init(p)
+        nu = s[0].nu["w"]
+        assert set(nu) == {"r", "c"}
+        assert nu["r"].shape == (64,) and nu["c"].shape == (128,)
+
+    def test_tracks_full_adam_on_generic_gradients(self):
+        """Generic RANDOM gradients are the worst case for the rank-1
+        factorization (real NN gradient second moments carry strong
+        row/col structure — Shazeer & Stern §4). This is a sanity bound:
+        same order of magnitude as exact Adam, finite, no blowup. The
+        decisive quality check is the multi-seed training gate on the
+        synthetic set (tools/gate_optimizer_quality.py)."""
+        from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
+
+        rng0 = np.random.default_rng(7)
+        p0 = {"w": jnp.asarray(rng0.normal(size=(32, 48)).astype(np.float32) * 0.05)}
+        fac = _run(
+            adam_factored(1e-3, b1=0.9, b2=0.99, min_elems=1), dict(p0), n_steps=20
+        )
+        full = _run(optax.adam(1e-3, b1=0.9, b2=0.99), dict(p0), n_steps=20)
+        disp = np.abs(np.asarray(full["w"]) - np.asarray(p0["w"])).max()
+        err = np.abs(np.asarray(fac["w"]) - np.asarray(full["w"])).max()
+        assert np.isfinite(np.asarray(fac["w"])).all()
+        assert err < 0.5 * disp, (err, disp)
