@@ -86,44 +86,56 @@ def run_grid_mode(args, base_cfg):
                 f"=== grid-training ORCED n_tr={n_tr} "
                 f"(splits {[i + 1 for i in chunk]} lockstep) ==="
             )
-            trainer = GridORCEDTrainer(
-                cfgs,
-                train_sets=[d[0] for d in chunk_data],
-                valid_sets=[d[1] for d in chunk_data],
-                mesh=mesh,
+            # one function call per chunk: the trainer's device state
+            # (params + f32 Adam moments, ~3.5 GB/run) must be GC'd before
+            # the next chunk's trainer allocates, or chunk 2 OOMs HBM
+            _run_orced_chunk(base_cfg, cfgs, chunk_data, mesh)
+
+
+def _run_orced_chunk(base_cfg, cfgs, chunk_data, mesh):
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridORCEDTrainer
+    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
+    from opensetgaitrecognition_pcaa_tpu.train.orced import write_orced_checkpoint
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import mark_run_completed
+
+    trainer = GridORCEDTrainer(
+        cfgs,
+        train_sets=[d[0] for d in chunk_data],
+        valid_sets=[d[1] for d in chunk_data],
+        mesh=mesh,
+    )
+    loggers = []
+    for cfg in cfgs:
+        os.makedirs(cfg.run_dir(), exist_ok=True)
+        cfg.save(os.path.join(cfg.run_dir(), "config.json"))
+        loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
+
+    for epoch in range(base_cfg.EPOCHS):
+        m = trainer.run_epoch(epoch)
+        if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
+            vacc = trainer.valid_accuracy(epoch)
+            trainer.note_validation(vacc)
+        for r, logger in enumerate(loggers):
+            logger.log(
+                {
+                    "Total Loss Train": float(m["tot_loss"][r]),
+                    "KL Loss": float(m["kl_loss"][r]),
+                    "Triplet Loss": float(m["trip_loss"][r]),
+                    "Train Accuracy": float(m["train_accuracy"][r]),
+                },
+                step=epoch,
             )
-            loggers = []
-            for cfg in cfgs:
-                os.makedirs(cfg.run_dir(), exist_ok=True)
-                cfg.save(os.path.join(cfg.run_dir(), "config.json"))
-                loggers.append(MetricLogger(cfg.run_dir(), cfg.to_dict()))
 
-            for epoch in range(base_cfg.EPOCHS):
-                m = trainer.run_epoch(epoch)
-                if epoch % base_cfg.CHECKPOINT_FREQUENCY == 0:
-                    vacc = trainer.valid_accuracy(epoch)
-                    trainer.note_validation(vacc)
-                for r, logger in enumerate(loggers):
-                    logger.log(
-                        {
-                            "Total Loss Train": float(m["tot_loss"][r]),
-                            "KL Loss": float(m["kl_loss"][r]),
-                            "Triplet Loss": float(m["trip_loss"][r]),
-                            "Train Accuracy": float(m["train_accuracy"][r]),
-                        },
-                        step=epoch,
-                    )
-
-            payloads = trainer.best_run_payloads()
-            best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
-            for r, (cfg, payload, logger) in enumerate(zip(cfgs, payloads, loggers)):
-                write_orced_checkpoint(cfg.run_dir(), cfg.MODEL_NAME, payload)
-                logger.finish()
-                mark_run_completed(
-                    cfg.run_dir(),
-                    {"best_valid_accuracy": float(best_accs[r])},
-                )
-            print(f"    best valid accs: {np.round(best_accs, 4)}")
+    payloads = trainer.best_run_payloads()
+    best_accs = getattr(trainer, "_best_accs", np.zeros(len(cfgs)))
+    for r, (cfg, payload, logger) in enumerate(zip(cfgs, payloads, loggers)):
+        write_orced_checkpoint(cfg.run_dir(), cfg.MODEL_NAME, payload)
+        logger.finish()
+        mark_run_completed(
+            cfg.run_dir(),
+            {"best_valid_accuracy": float(best_accs[r])},
+        )
+    print(f"    best valid accs: {np.round(best_accs, 4)}")
 
 
 def main():
