@@ -113,11 +113,21 @@ def run_grid_mode(args):
                 )
                 for i in range(args.n_tests)
             ]
+            # resumability: completed runs (run_complete.json) drop out of
+            # the lockstep chunks, mirroring the sequential path's skip
+            todo = [
+                i
+                for i in range(args.n_tests)
+                if args.no_skip_completed
+                or not run_completed(all_cfgs[i].run_dir())
+            ]
+            if len(todo) < args.n_tests:
+                done = sorted(set(range(args.n_tests)) - set(todo))
+                print(f"    skipping completed splits {[i + 1 for i in done]}")
             # chunk to device-memory capacity (runs beyond it would OOM HBM)
             cap = args.grid_runs_per_device * max(n_dev, 1)
             chunks = [
-                list(range(c, min(c + cap, args.n_tests)))
-                for c in range(0, args.n_tests, cap)
+                todo[c : c + cap] for c in range(0, len(todo), cap)
             ]
             for chunk in chunks:
                 cfgs = [all_cfgs[i] for i in chunk]
