@@ -113,8 +113,10 @@ def build_orced(cfg: Config, key: jax.Array):
             mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
         )
     else:
-        # default path unchanged from round 1 (f32 moments even in bf16
-        # compute — ORCED has not been through the mu-dtype quality gate)
+        # f32 moments default (parity). The bf16 tiers cleared ORCED's own
+        # 10-epoch 5-seed paired quality gate (+0.4pp mean valid acc;
+        # tools/gate_optimizer_quality.py --model orced): bf16 compute
+        # 780 w/s, + BF16_ADAM_NU 930 w/s vs 658 f32 — opt in per run.
         tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1)
     state = ORCEDState(
         params=params,

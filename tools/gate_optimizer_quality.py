@@ -38,6 +38,14 @@ CONFIGS = {
     "factored": {"FACTORED_ADAM_NU": True},
 }
 
+# ORCED has its own baseline semantics: the parity default is f32 with f32
+# moments, so its gate compares f32 vs the two bf16 tiers.
+ORCED_CONFIGS = {
+    "f32": {"COMPUTE_DTYPE": "float32"},
+    "bf16": {"COMPUTE_DTYPE": "bfloat16"},
+    "bf16+nu16": {"COMPUTE_DTYPE": "bfloat16", "BF16_ADAM_NU": True},
+}
+
 
 def measure_wps(flags: dict, n_epochs: int = 4) -> float:
     import jax
@@ -86,15 +94,25 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--epochs", type=int, default=4)
-    p.add_argument("--configs", nargs="+", default=list(CONFIGS))
+    p.add_argument("--configs", nargs="+", default=None)
     p.add_argument("--skip-wps", action="store_true")
+    p.add_argument(
+        "--model",
+        default="pcaa",
+        choices=["pcaa", "orced"],
+        help="which trainer to gate (orced compares f32 vs bf16 tiers)",
+    )
     args = p.parse_args()
+    table = CONFIGS if args.model == "pcaa" else ORCED_CONFIGS
+    if args.configs is None:
+        args.configs = list(table)
 
     from opensetgaitrecognition_pcaa_tpu.config import Config, VARIATION
     from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
     from opensetgaitrecognition_pcaa_tpu.data.synthetic import (
         generate_synthetic_raw_dataset,
     )
+    from opensetgaitrecognition_pcaa_tpu.train.orced import train_orced
     from opensetgaitrecognition_pcaa_tpu.train.pcaa import train_pcaa
 
     work = tempfile.mkdtemp(prefix="gate_opt_")
@@ -106,9 +124,9 @@ def main():
     generate_splits(train_classes=list(range(8)), data_path=raw, gen_data_path=gen)
 
     out = {}
-    if not args.skip_wps:
+    if not args.skip_wps and args.model == "pcaa":
         for name in args.configs:
-            out.setdefault(name, {})["wps"] = round(measure_wps(CONFIGS[name]), 1)
+            out.setdefault(name, {})["wps"] = round(measure_wps(table[name]), 1)
             print(f"{name}: {out[name]['wps']} w/s", flush=True)
 
     accs = {name: [] for name in args.configs}
@@ -122,10 +140,19 @@ def main():
                 EPOCHS=args.epochs,
                 CHECKPOINT_FREQUENCY=1,
                 SEED=seed,
-                COMPUTE_DTYPE="bfloat16",
-                **CONFIGS[name],
+                **(
+                    dict(COMPUTE_DTYPE="bfloat16", **table[name])
+                    if args.model == "pcaa"
+                    else dict(
+                        TRIPLET_W=1.0, CE_W=1.0, REC_W=1.0, KL_W=1.0,
+                        TRIPLET_MARGIN=0.5, **table[name],
+                    )
+                ),
             )
-            r = train_pcaa(cfg, VARIATION.V4, verbose=False, resume=False)
+            if args.model == "pcaa":
+                r = train_pcaa(cfg, VARIATION.V4, verbose=False, resume=False)
+            else:
+                r = train_orced(cfg, verbose=False, resume=False)
             accs[name].append(float(r["best_valid_accuracy"]))
         print(
             f"seed {seed}: "
