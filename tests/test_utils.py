@@ -61,3 +61,31 @@ class TestNanChecks:
         assert jax.config.jax_debug_nans
         enable_nan_checks(False)
         assert not jax.config.jax_debug_nans
+
+
+class TestVariationFromModelName:
+    """Reference quirk (inference_PCAA.py:404-415): the two characters
+    before the first '.' select the variant; anything else (including
+    lowercase tags) silently falls back to BASE — which loads a headless
+    encoder and fails on V4 weights. Callers with non-contract run names
+    must pass `variation=` explicitly (pcaa_inference supports it)."""
+
+    def test_contract_names(self):
+        from opensetgaitrecognition_pcaa_tpu.config import (
+            VARIATION,
+            variation_from_model_name,
+        )
+
+        assert variation_from_model_name("PCAA_Abl2_V4.8.1") == VARIATION.V4
+        assert variation_from_model_name("PCAA_Abl2_V1.2.5") == VARIATION.V1
+        assert variation_from_model_name("X_V3.6.2") == VARIATION.V3
+
+    def test_non_contract_names_fall_back_to_base(self):
+        from opensetgaitrecognition_pcaa_tpu.config import (
+            VARIATION,
+            variation_from_model_name,
+        )
+
+        # lowercase and head-less names mirror the reference's fallback
+        assert variation_from_model_name("verify_v4.1.1") == VARIATION.BASE
+        assert variation_from_model_name("mymodel") == VARIATION.BASE
