@@ -222,9 +222,28 @@ def orced_inference(
         # every batch of every loader (advisor round-1 finding 2)
         key_tr, key_te, key_un = jax.random.split(jax.random.PRNGKey(seed), 3)
 
-        ds_train = RadarCropDataset(SPLIT.TRAIN, cfg.GEN_DATA_PATH)
-        ds_test = RadarCropDataset(SPLIT.TEST, cfg.GEN_DATA_PATH)
-        ds_unseen = RadarCropDataset(SPLIT.UNSEEN, cfg.GEN_DATA_PATH)
+        # All three loaders honor the run's SUBSAMPLE_FACTOR, matching the
+        # reference's construction (inference_ORCED.py:186-221). The
+        # reference's subsample draw is unseeded global np.random
+        # (datasets.py:424-432); we use an explicit per-split seeded rng.
+        ds_train = RadarCropDataset(
+            SPLIT.TRAIN,
+            cfg.GEN_DATA_PATH,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
+            subsample_rng=np.random.default_rng(seed),
+        )
+        ds_test = RadarCropDataset(
+            SPLIT.TEST,
+            cfg.GEN_DATA_PATH,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
+            subsample_rng=np.random.default_rng(seed + 1),
+        )
+        ds_unseen = RadarCropDataset(
+            SPLIT.UNSEEN,
+            cfg.GEN_DATA_PATH,
+            subsample_factor=cfg.SUBSAMPLE_FACTOR,
+            subsample_rng=np.random.default_rng(seed + 2),
+        )
 
         # training statistics pass (drop_last=True in the reference loader,
         # inference_ORCED.py:191-197)

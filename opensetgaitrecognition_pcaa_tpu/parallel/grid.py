@@ -325,6 +325,20 @@ class GridORCEDTrainer:
         mesh=None,
     ):
         assert len(cfgs) == len(train_sets) >= 1
+        # Same construction-time shape contract as GridPCAATrainer: a
+        # mismatched NMAX/BATCH_SIZE pair would otherwise fail deep inside
+        # the vmapped step with an opaque broadcast error.
+        shape_fields = (
+            "NMAX",
+            "NSTEPS",
+            "NFEATURES",
+            "POINTNET_OUT_DIM",
+            "DTC_FILTERS",
+            "SUP_LATENT_DIM",
+            "BATCH_SIZE",
+        )
+        for f in shape_fields:
+            assert len({getattr(c, f) for c in cfgs}) == 1, f"mismatched {f}"
         assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
         self.cfgs = list(cfgs)
         self.cfg = cfgs[0]

@@ -99,7 +99,14 @@ def build_orced(cfg: Config, key: jax.Array):
     }
     # Reference quirk: betas=(B1, B1) — see module docstring.
     # Optimizer fast paths mirror the PCAA trainer (decoder-dominated
-    # optimizer traffic is the same bottleneck here).
+    # optimizer traffic is the same bottleneck here). FUSED_ADAM is a
+    # PCAA-only kernel (and measured slower there) — reject it loudly
+    # instead of silently training with the plain optimizer.
+    assert not cfg.FUSED_ADAM, (
+        "Config.FUSED_ADAM is PCAA-only (ops/pallas/adam_kernel.py is wired "
+        "into build_pcaa, and was measured slower even there); unset it for "
+        "ORCED runs."
+    )
     mu_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else None
     if cfg.FACTORED_ADAM_NU:
         from opensetgaitrecognition_pcaa_tpu.train.optim import adam_factored
@@ -113,11 +120,13 @@ def build_orced(cfg: Config, key: jax.Array):
             mu_dtype=mu_dtype, nu_dtype=jnp.bfloat16,
         )
     else:
-        # f32 moments default (parity). The bf16 tiers cleared ORCED's own
-        # 10-epoch 5-seed paired quality gate (+0.4pp mean valid acc;
-        # tools/gate_optimizer_quality.py --model orced): bf16 compute
-        # 780 w/s, + BF16_ADAM_NU 930 w/s vs 658 f32 — opt in per run.
-        tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1)
+        # f32 moments under f32 compute (parity default). Under bf16
+        # compute, first moments are stored bf16 like build_pcaa's
+        # equivalent branch (the validated +8% path there; ORCED's own
+        # 10-epoch 5-seed paired gate cleared the bf16 tiers: +0.4pp mean
+        # valid acc; tools/gate_optimizer_quality.py --model orced): bf16
+        # compute 780 w/s, + BF16_ADAM_NU 930 w/s vs 658 f32 — opt in.
+        tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1, mu_dtype=mu_dtype)
     state = ORCEDState(
         params=params,
         batch_stats=batch_stats,

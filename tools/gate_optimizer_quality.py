@@ -16,8 +16,16 @@ paired accuracy delta is within noise (>= -1pp) AND throughput improves.
 Result history (v5e, 4 epochs, 5 seeds, 2026-08-16): nu16 is +9% throughput
 but a systematic -2..-4pp accuracy hit on EVERY seed (bf16 EMA increments
 at B2=0.99 sit ~2.5x above bf16 resolution and partially round away) —
-rejected as a default. ``factored`` keeps f32 EMA precision; this tool
-measures whether its rank-1 denominator approximation is quality-neutral.
+initially rejected as a default on that 4-epoch evidence. ``factored``
+keeps f32 EMA precision; this tool measures whether its rank-1 denominator
+approximation is quality-neutral (measured: -5.6pp — rejected).
+
+SUPERSEDED (v5e, 10 epochs, 6 seeds, 2026-08-17): the decisive longer gate
+cleared nu16 at +0.8pp mean paired accuracy — the 4-epoch deficit is a
+transient of early training, not a converged bias. nu16 therefore ships in
+the bench config (922 w/s headline); ``Config.BF16_ADAM_NU`` stays False
+as the parity default. The 4-epoch verdict above is retained for history
+only.
 """
 
 import argparse
