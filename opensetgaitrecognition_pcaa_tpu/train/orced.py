@@ -214,17 +214,36 @@ def make_orced_train_step(models, cfg: Config):
     return train_step
 
 
-def make_orced_epoch_fns(models, cfg: Config):
+def make_orced_epoch_fns(models, cfg: Config, mesh=None):
+    """→ (train_epoch, valid_epoch), both jitted whole-epoch scans.
+
+    With ``mesh`` (a ``(data, model)`` ``jax.sharding.Mesh``), each gathered
+    batch is sharding-constrained onto the ``data`` axis — GSPMD splits the
+    forward/backward across chips and inserts the gradient ``psum`` over ICI
+    (same data-parallel recipe as the PCAA trainer's ``make_epoch_fns``;
+    the reference trainer ``train_ORCED.py:21-329`` is single-device)."""
     encoder, decoder, mean_learner, tx = models
     train_step = make_orced_train_step(models, cfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        def shard_batch(t):
+            return jax.lax.with_sharding_constraint(t, batch_sh)
+    else:
+
+        def shard_batch(t):
+            return t
 
     def train_epoch(state, x_all, y_all, perm, kl_mult):
         def body(state, step_and_idx):
             step_idx, idx = step_and_idx
             return train_step(
                 state,
-                jnp.take(x_all, idx, axis=0),
-                jnp.take(y_all, idx, axis=0),
+                shard_batch(jnp.take(x_all, idx, axis=0)),
+                shard_batch(jnp.take(y_all, idx, axis=0)),
                 step_idx,
                 kl_mult,
             )
@@ -235,8 +254,8 @@ def make_orced_epoch_fns(models, cfg: Config):
     def valid_epoch(state, x_all, y_all, perm, key):
         def body(carry, step_and_idx):
             step_idx, idx = step_and_idx
-            pcs = jnp.take(x_all, idx, axis=0)
-            labels = jnp.take(y_all, idx, axis=0)
+            pcs = shard_batch(jnp.take(x_all, idx, axis=0))
+            labels = shard_batch(jnp.take(y_all, idx, axis=0))
             # eval mode still samples the reparam noise (models/orced.py).
             logits, z, mu, logvar = encoder.apply(
                 {
@@ -328,7 +347,18 @@ def train_orced(
 
     key = jax.random.PRNGKey(cfg.SEED)
     models, state = build_orced(cfg, key)
-    train_epoch, valid_epoch = make_orced_epoch_fns(models, cfg)
+
+    mesh = None
+    if cfg.DP_DEVICES > 1:
+        from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
+
+        assert cfg.BATCH_SIZE % cfg.DP_DEVICES == 0, (
+            cfg.BATCH_SIZE,
+            cfg.DP_DEVICES,
+        )
+        mesh = create_mesh(cfg.DP_DEVICES, model_parallel=1)
+
+    train_epoch, valid_epoch = make_orced_epoch_fns(models, cfg, mesh=mesh)
     logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
     host_rng = np.random.default_rng(cfg.SEED)
 

