@@ -142,6 +142,16 @@ class Config:
     # the (1-B2) increments round away at b2=0.99). Approximates the Adam
     # denominator by a rank-1 factorization on those leaves.
     FACTORED_ADAM_NU: bool = False
+    # Carry bf16 copies of the decoder-side generator params (decoder +
+    # dec head) in the train state and run the G forward/backward against
+    # them, refreshing the copies inside the Adam write. Under bf16 compute
+    # XLA casts the f32 masters at every read anyway, so the loss/gradient
+    # values are BIT-IDENTICAL — this only replaces two f32 reads of the
+    # 215M-param decoder per step (fwd + bwd, ~1.7 GB) with bf16 reads plus
+    # one bf16 write (~1.3 GB): a pure HBM-traffic optimization on the
+    # step's dominant component (PERF_ROOFLINE.md). Requires
+    # COMPUTE_DTYPE="bfloat16".
+    BF16_WEIGHT_CACHE: bool = False
     # Persist the full training state (params + Adam moments + BN stats +
     # RNG) every CHECKPOINT_FREQUENCY epochs for mid-run resume. Off by
     # default: with the 215M-param decoder a full-state save moves ~2.6 GB

@@ -85,10 +85,19 @@ class RadarCropDataset:
         self.original_labels = np.array([p[1] for _, p in parsed], dtype=np.int32)
         self.tracks = [p[3] for _, p in parsed]
 
-        # Remap original subject ids to contiguous 0..n-1 labels (reference
-        # ``datasets.py:461-464``; we sort the distinct ids explicitly where
-        # the reference relies on smallint set-iteration order).
-        classes = sorted(set(self.original_labels.tolist()))
+        # Remap original subject ids to contiguous 0..n-1 labels, reproducing
+        # the reference's *set-iteration* order (``datasets.py:434-464``:
+        # ``list(set(labels))``). CPython int sets iterate by hash-table slot
+        # (identity hash mod table size) — NOT sorted once ids ≥ 8 wrap: e.g.
+        # {4, 6, 8, 9} iterates as [8, 9, 4, 6]. Int hashing is not
+        # randomized, so this is deterministic across processes. The subject
+        # picked for threshold validation at inference is an index into THIS
+        # order, so the previously-used sorted remap silently excluded a
+        # DIFFERENT physical unseen subject than the reference whenever a
+        # subject id ≥ 8 was unseen (measured in round 3's shared-weights
+        # decision parity: ~300 of ~1100 decision crops differed per side
+        # before this fix).
+        classes = list(set(self.original_labels.tolist()))
         self.class_map = {c: i for i, c in enumerate(classes)}
         self.labels = np.array(
             [self.class_map[c] for c in self.original_labels], dtype=np.int32

@@ -57,6 +57,10 @@ class ORCEDState(struct.PyTreeNode):
     batch_stats: Any  # {"encoder", "mean_learner"}
     opt: Any
     key: jax.Array
+    # bf16 copies of the decoder's 2-D kernels (Config.BF16_WEIGHT_CACHE):
+    # same HBM-traffic optimization as the PCAA trainer — see
+    # train/pcaa.py::_cache_leaf. Empty dict when the flag is off.
+    cast: Any = struct.field(default_factory=dict)
 
 
 def build_orced(cfg: Config, key: jax.Array):
@@ -127,11 +131,21 @@ def build_orced(cfg: Config, key: jax.Array):
         # valid acc; tools/gate_optimizer_quality.py --model orced): bf16
         # compute 780 w/s, + BF16_ADAM_NU 930 w/s vs 658 f32 — opt in.
         tx = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B1, mu_dtype=mu_dtype)
+    cast: Any = {}
+    if cfg.BF16_WEIGHT_CACHE:
+        from opensetgaitrecognition_pcaa_tpu.train.pcaa import _cache_tree
+
+        assert cfg.COMPUTE_DTYPE == "bfloat16", (
+            "BF16_WEIGHT_CACHE requires bf16 compute (see config.py)"
+        )
+        cast = {"decoder": _cache_tree(params["decoder"])}
+
     state = ORCEDState(
         params=params,
         batch_stats=batch_stats,
         opt=tx.init(params),
         key=keys[3],
+        cast=cast,
     )
     return (encoder, decoder, mean_learner, tx), state
 
@@ -146,6 +160,23 @@ def make_orced_train_step(models, cfg: Config):
         # batch of every epoch (the reference draws unseeded torch noise).
         new_key, key = jax.random.split(state.key)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+
+        loss_params = state.params
+        if cfg.BF16_WEIGHT_CACHE:
+            from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+                _merge_cached,
+            )
+
+            # Differentiate wrt the carried bf16 decoder kernels — values
+            # and gradients are bit-identical to casting the f32 masters at
+            # read (train/pcaa.py::_cache_tree), at half the decoder fwd+bwd
+            # HBM bytes.
+            loss_params = {
+                **state.params,
+                "decoder": _merge_cached(
+                    state.params["decoder"], state.cast["decoder"]
+                ),
+            }
 
         def loss_fn(params):
             (logits, z, mu, logvar), enc_muts = encoder.apply(
@@ -192,7 +223,17 @@ def make_orced_train_step(models, cfg: Config):
 
         (tot, (rec, sup, trip, kl, logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(loss_params)
+        if cfg.BF16_WEIGHT_CACHE:
+            grads = {
+                **grads,
+                "decoder": jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32)
+                    if g.dtype == jnp.bfloat16
+                    else g,
+                    grads["decoder"],
+                ),
+            }
         updates, new_opt = tx.update(grads, state.opt, state.params)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=1)
@@ -204,9 +245,19 @@ def make_orced_train_step(models, cfg: Config):
             "tot_loss": tot,
             "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
         }
+        if cfg.BF16_WEIGHT_CACHE:
+            from opensetgaitrecognition_pcaa_tpu.train.pcaa import _cache_tree
+
+            new_cast = {"decoder": _cache_tree(new_params["decoder"])}
+        else:
+            new_cast = state.cast
         return (
             state.replace(
-                params=new_params, batch_stats=new_bs, opt=new_opt, key=new_key
+                params=new_params,
+                batch_stats=new_bs,
+                opt=new_opt,
+                key=new_key,
+                cast=new_cast,
             ),
             metrics,
         )

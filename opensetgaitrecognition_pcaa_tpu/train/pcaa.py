@@ -106,6 +106,10 @@ class PCAAState(struct.PyTreeNode):
     opt_d: Any
     centroids: jnp.ndarray  # (n_classes, latent); fixed prior means
     key: jax.Array
+    # bf16 copies of the decoder-side params_g entries (BF16_WEIGHT_CACHE):
+    # refreshed inside each step's Adam write so the next G forward/backward
+    # reads half the bytes. Empty dict when the flag is off.
+    cast_g: Any = struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -119,6 +123,28 @@ class PCAAModules:
     spec: VariantSpec
     tx_g: Any = None
     tx_d: Any = None
+
+
+def _cache_tree(params):
+    """BF16_WEIGHT_CACHE: bf16 copies of the 2-D kernels (the compute reads
+    them as bf16 anyway, so values are exact), with 0-size placeholders in
+    the bias slots. Biases must NOT be cached: (a) TorchDense adds them to
+    the f32 accumulator before the downcast, so a bf16 copy would change
+    numerics, and (b) an aliased f32 reference would be the same buffer as
+    the master inside the donated state → double-donation error."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if p.ndim >= 2
+        else jnp.zeros((0,), p.dtype),
+        params,
+    )
+
+
+def _merge_cached(master, cache):
+    """Apply-ready tree: cached bf16 kernels + f32 master biases."""
+    return jax.tree_util.tree_map(
+        lambda m, c: c if m.ndim >= 2 else m, master, cache
+    )
 
 
 def build_pcaa(
@@ -224,6 +250,18 @@ def build_pcaa(
         mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
         mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
 
+    cast_g: Any = {}
+    if cfg.BF16_WEIGHT_CACHE:
+        assert cfg.COMPUTE_DTYPE == "bfloat16", (
+            "BF16_WEIGHT_CACHE is a bf16-compute traffic optimization; "
+            "under f32 compute it would CHANGE numerics, not just traffic"
+        )
+        assert spec.use_decoder, "BF16_WEIGHT_CACHE targets the decoder"
+        # Only the decoder (215.3M of 217.7M params) — the tiny dec_head
+        # computes in f32 (ProjectionHead/TorchDense default), so bf16
+        # params there would change numerics, and it carries no traffic.
+        cast_g = {"decoder": _cache_tree(params_g["decoder"])}
+
     state = PCAAState(
         params_g=params_g,
         params_d=params_d,
@@ -233,6 +271,7 @@ def build_pcaa(
         opt_d=mods.tx_d.init(params_d),
         centroids=centroids,
         key=keys[6],
+        cast_g=cast_g,
     )
     return mods, state
 
@@ -391,12 +430,35 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         down_params = {
             k: v for k, v in state.params_g.items() if k != "encoder"
         }
+        if cfg.BF16_WEIGHT_CACHE:
+            # Differentiate wrt the carried bf16 decoder copy instead of the
+            # f32 master: the loss is f(cast(p)) either way, and d/dp of
+            # that is exactly upcast(d/d cast(p)) — so upcasting these
+            # grads reproduces the master-side gradients BIT-FOR-BIT while
+            # the fwd+bwd read 215M params at half the bytes
+            # (Config.BF16_WEIGHT_CACHE).
+            down_params = {
+                **down_params,
+                "decoder": _merge_cached(
+                    state.params_g["decoder"], state.cast_g["decoder"]
+                ),
+            }
         (tot_loss, (rec_loss, adv_loss, sup_loss)), down_grads = (
             jax.value_and_grad(downstream_loss, argnums=(0, 1, 2), has_aux=True)(
                 down_params, logits0, fv0
             )
         )
         d_down, d_logits, d_fv = down_grads
+        if cfg.BF16_WEIGHT_CACHE:
+            d_down = {
+                **d_down,
+                "decoder": jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32)
+                    if g.dtype == jnp.bfloat16
+                    else g,
+                    d_down["decoder"],
+                ),
+            }
         (enc_grads,) = enc_vjp((d_logits, d_fv))
         g_grads = {"encoder": enc_grads, **d_down}
         if cfg.FUSED_ADAM:
@@ -438,9 +500,18 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             "tot_loss": tot_loss,
             "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
         }
+        if cfg.BF16_WEIGHT_CACHE:
+            # Refresh the bf16 copy from the just-updated master; XLA fuses
+            # the cast into the Adam write pipeline (the new params are
+            # still in registers), so this costs one bf16 write, not an
+            # extra f32 read.
+            new_cast = {"decoder": _cache_tree(new_params_g["decoder"])}
+        else:
+            new_cast = state.cast_g
         new_state = state.replace(
             params_g=new_params_g,
             params_d=new_params_d,
+            cast_g=new_cast,
             batch_stats=batch_stats,
             opt_g=new_opt_g,
             opt_d=new_opt_d,

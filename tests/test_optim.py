@@ -235,3 +235,88 @@ class TestAdamFactored:
         err = np.abs(np.asarray(fac["w"]) - np.asarray(full["w"])).max()
         assert np.isfinite(np.asarray(fac["w"])).all()
         assert err < 0.5 * disp, (err, disp)
+
+
+class TestBF16WeightCache:
+    """Config.BF16_WEIGHT_CACHE must be numerically INVISIBLE: under bf16
+    compute the flag only changes where the decoder-kernel cast happens
+    (carried copy vs cast-at-read), so flag-on and flag-off training must be
+    bit-identical (train/pcaa.py::_cache_leaf; biases stay f32 because
+    TorchDense adds them to the f32 accumulator pre-downcast)."""
+
+    def _pcaa(self, flag, n_steps=3):
+        from opensetgaitrecognition_pcaa_tpu.config import Config, VARIATION
+        from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+            VARIANTS,
+            build_pcaa,
+            make_train_step,
+        )
+
+        cfg = Config(
+            NMAX=16, NSTEPS=8, CROP_STEP=4, POINTNET_OUT_DIM=32,
+            DTC_FILTERS=(8, 8, 8, 8, 8, 16), SUP_LATENT_DIM=16,
+            TRAIN_CLASSES=(0, 1, 2), BATCH_SIZE=8, MODEL_NAME="wc",
+            COMPUTE_DTYPE="bfloat16", BF16_WEIGHT_CACHE=flag,
+        )
+        mods, st = build_pcaa(cfg, VARIANTS[VARIATION.V4], jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(mods, cfg))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 8, 16, 4)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 3, 8, dtype=np.int32))
+        for i in range(n_steps):
+            st, _ = step(st, x, y, jnp.int32(i))
+        return jax.device_get(st.params_g)
+
+    def _orced(self, flag, n_steps=3):
+        from opensetgaitrecognition_pcaa_tpu.config import Config
+        from opensetgaitrecognition_pcaa_tpu.train.orced import (
+            build_orced,
+            make_orced_train_step,
+        )
+
+        cfg = Config(
+            NMAX=16, NSTEPS=8, CROP_STEP=4, POINTNET_OUT_DIM=32,
+            DTC_FILTERS=(8, 8, 8, 8, 8, 16), SUP_LATENT_DIM=16,
+            TRAIN_CLASSES=(0, 1, 2), BATCH_SIZE=8, MODEL_NAME="owc",
+            COMPUTE_DTYPE="bfloat16", BF16_WEIGHT_CACHE=flag,
+        )
+        models, st = build_orced(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_orced_train_step(models, cfg))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 8, 16, 4)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 3, 8, dtype=np.int32))
+        for i in range(n_steps):
+            st, _ = step(st, x, y, jnp.int32(i), jnp.float32(0.5))
+        return jax.device_get(st.params)
+
+    def test_pcaa_bit_identical(self):
+        p_off = self._pcaa(False)
+        p_on = self._pcaa(True)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), p_off, p_on
+        )
+
+    def test_orced_bit_identical(self):
+        p_off = self._orced(False)
+        p_on = self._orced(True)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), p_off, p_on
+        )
+
+    def test_requires_bf16_compute(self):
+        import pytest
+
+        from opensetgaitrecognition_pcaa_tpu.config import Config, VARIATION
+        from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
+            VARIANTS,
+            build_pcaa,
+        )
+
+        cfg = Config(
+            NMAX=16, NSTEPS=8, CROP_STEP=4, POINTNET_OUT_DIM=32,
+            DTC_FILTERS=(8, 8, 8, 8, 8, 16), SUP_LATENT_DIM=16,
+            TRAIN_CLASSES=(0, 1, 2), BATCH_SIZE=8, MODEL_NAME="wc",
+            BF16_WEIGHT_CACHE=True,  # COMPUTE_DTYPE left at f32 default
+        )
+        with pytest.raises(AssertionError, match="bf16"):
+            build_pcaa(cfg, VARIANTS[VARIATION.V4], jax.random.PRNGKey(0))
