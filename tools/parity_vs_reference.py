@@ -545,16 +545,17 @@ def aggregate(args, results):
         "|---|---|---|---|---|---|",
         *md_groups,
         "",
-        "Every |paired Δ| is within ~1–2 SE of zero: at this noise floor the",
-        "framework's open-set F1 distribution is statistically",
-        "indistinguishable from the reference's. The ±0.5% BASELINE.json",
-        "target is far below the END-TO-END noise floor of this procedure",
-        "(the reference's unseeded training noise alone moves a single run's",
-        "f1_micro by up to ~0.8 at these reduced dims/epochs) — the",
-        "fine-grained parity claims are carried by the module-level",
-        "weight-transplant tests (tests/test_parity.py) and the",
-        "decision-math transcription tests (tests/test_decision_parity.py),",
-        "which compare at f32/f64 tolerance on identical inputs.",
+        "Scope of this measurement: it compares END-TO-END (training +",
+        "inference) F1 distributions, so its resolution is bounded by the",
+        "reference's own training noise (unseeded torch/numpy draws); paired",
+        "deltas within ~1–2 SE of zero show no detectable framework bias AT",
+        "THIS NOISE FLOOR — they do not by themselves establish the ±0.5%",
+        "BASELINE.json target. The fine-grained claims are carried by (a)",
+        "DECISION_PARITY.md — the composed inference pipelines agree",
+        "decision-for-decision on shared weights — and (b) the module-level",
+        "weight-transplant tests (tests/test_parity.py) and decision-math",
+        "transcription tests (tests/test_decision_parity.py) at f32/f64",
+        "tolerance on identical inputs.",
         "",
         "Noise floor: the reference itself draws unseeded numpy training",
         "noise (`PCAA_ablation.py:913-926`) and iterates python sets for its",
@@ -617,7 +618,9 @@ def main():
             )
         with open(res_path) as f:
             results.append(json.load(f))
-    aggregate(args, results)
+        # Aggregate incrementally: a multi-hour sweep interrupted at seed k
+        # still leaves a complete PARITY_MEASURED for the seeds finished.
+        aggregate(args, results)
 
 
 if __name__ == "__main__":
