@@ -292,10 +292,15 @@ def make_train_step(mods: PCAAModules, cfg: Config):
     n = cfg.n_classes
     latent = cfg.SUP_LATENT_DIM
 
-    def step(state: PCAAState, pcs, labels, step_idx):
+    def step(state: PCAAState, pcs, labels, step_idx, inject=None):
         # Fresh noise every batch, like the reference's unseeded torch RNG
         # (train_AAE.py:173-179): the carried key advances each step, so z0
-        # and the GP alphas never repeat across epochs.
+        # and the GP alphas never repeat across epochs. ``inject`` (a
+        # ``(z0, alphas)`` pair, trace-time optional) replays externally
+        # recorded draws instead — the common-random-numbers twin harness
+        # (tools/parity_twin.py) feeds the torch reference's actual noise
+        # stream through here so both implementations train on identical
+        # random realizations.
         new_key, k_z, k_alpha = jax.random.split(state.key, 3)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
 
@@ -359,9 +364,12 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             mus = oh @ state.centroids
 
         # Prior sample; fully detached (reference wraps in Variable()).
-        z0 = jax.random.normal(k_z, (pcs.shape[0], latent))
+        if inject is None:
+            z0 = jax.random.normal(k_z, (pcs.shape[0], latent))
+            alphas = jax.random.uniform(k_alpha, (pcs.shape[0], 1))
+        else:
+            z0, alphas = inject
         z = jax.lax.stop_gradient(z0 + mus)
-        alphas = jax.random.uniform(k_alpha, (pcs.shape[0], 1))
 
         # --- discriminator (critic) step ----------------------------------
         def d_loss_fn(params_d):
@@ -546,17 +554,26 @@ def make_epoch_fns(mods: PCAAModules, cfg: Config, mesh=None):
         def shard_batch(t):
             return t
 
-    def train_epoch(state: PCAAState, x_all, y_all, perm):
-        """perm: (steps, B) int32 gather indices for this epoch's batches."""
+    def train_epoch(state: PCAAState, x_all, y_all, perm, noise=None):
+        """perm: (steps, B) int32 gather indices for this epoch's batches.
 
-        def body(state, step_and_idx):
-            step_idx, idx = step_and_idx
+        ``noise`` (trace-time optional): ``(z0 (steps, B, latent),
+        alphas (steps, B, 1))`` replay arrays for the CRN twin harness."""
+
+        def body(state, xs):
+            if noise is None:
+                step_idx, idx = xs
+                inject = None
+            else:
+                step_idx, idx, z0_s, al_s = xs
+                inject = (z0_s, al_s)
             pcs = shard_batch(jnp.take(x_all, idx, axis=0))
             labels = shard_batch(jnp.take(y_all, idx, axis=0))
-            return train_step(state, pcs, labels, step_idx)
+            return train_step(state, pcs, labels, step_idx, inject)
 
         steps = jnp.arange(perm.shape[0])
-        state, metrics = jax.lax.scan(body, state, (steps, perm))
+        xs = (steps, perm) if noise is None else (steps, perm) + tuple(noise)
+        state, metrics = jax.lax.scan(body, state, xs)
         return state, metrics
 
     def valid_epoch(state: PCAAState, x_all, y_all, perm):

@@ -160,3 +160,122 @@ def mean_learner_state_dict(ml_vars: dict) -> dict:
         )
     sd.update(_linear_entries("model.9", p["TorchDense_3"]))
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: reference torch state_dicts → framework flax trees
+# (used by the CRN twin harness to start both implementations from the SAME
+# initialization).
+# ---------------------------------------------------------------------------
+
+
+def _n(t):
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def torch_cg_encoder_to_flax(sd: dict, use_projection_head: bool):
+    """Reference ``models.CGEncoder`` state_dict → framework CGEncoder
+    ``(params, batch_stats)`` trees (inverse of cg_encoder_state_dict)."""
+    pn_p, pn_s, tc_p, tc_s = {}, {}, {}, {}
+    for i in range(4):
+        pre = f"pc_block.pointnet{i + 1}.module"
+        pn_p[f"TorchDense_{i}"] = {
+            "kernel": _n(sd[f"{pre}.0.weight"])[:, :, 0, 0].T,
+            "bias": _n(sd[f"{pre}.0.bias"]),
+        }
+        pn_p[f"TorchBatchNorm_{i}"] = {
+            "scale": _n(sd[f"{pre}.1.weight"]),
+            "bias": _n(sd[f"{pre}.1.bias"]),
+        }
+        pn_s[f"TorchBatchNorm_{i}"] = {
+            "mean": _n(sd[f"{pre}.1.running_mean"]),
+            "var": _n(sd[f"{pre}.1.running_var"]),
+        }
+    for i in range(6):
+        pre = f"tc_block.dtc{i + 1}"
+        tc_p[f"CausalDilatedConv1d_{i}"] = {
+            "Conv_0": {
+                "kernel": _n(sd[f"{pre}.conv1d.weight"]).transpose(2, 1, 0),
+                "bias": _n(sd[f"{pre}.conv1d.bias"]),
+            },
+            "TorchBatchNorm_0": {
+                "scale": _n(sd[f"{pre}.batch_norm.weight"]),
+                "bias": _n(sd[f"{pre}.batch_norm.bias"]),
+            },
+        }
+        tc_s[f"CausalDilatedConv1d_{i}"] = {
+            "TorchBatchNorm_0": {
+                "mean": _n(sd[f"{pre}.batch_norm.running_mean"]),
+                "var": _n(sd[f"{pre}.batch_norm.running_var"]),
+            }
+        }
+    params = {
+        "GaitBackbone_0": {
+            "PointNetBlock_0": pn_p,
+            "TemporalConvBlock_0": tc_p,
+        },
+        "MLP_sup1": {
+            "kernel": _n(sd["MLP_sup1.0.weight"]).T,
+            "bias": _n(sd["MLP_sup1.0.bias"]),
+        },
+        "MLP_sup2": {
+            "kernel": _n(sd["MLP_sup2.0.weight"]).T,
+            "bias": _n(sd["MLP_sup2.0.bias"]),
+        },
+    }
+    if use_projection_head:
+        params["MLP_head"] = {
+            "kernel": _n(sd["MLP_head.0.weight"]).T,
+            "bias": _n(sd["MLP_head.0.bias"]),
+        }
+    batch_stats = {
+        "GaitBackbone_0": {
+            "PointNetBlock_0": pn_s,
+            "TemporalConvBlock_0": tc_s,
+        }
+    }
+    return params, batch_stats
+
+
+def torch_cg_decoder_to_flax(sd: dict, nsteps: int, nmax: int, nfeatures: int):
+    """Reference ``models.CGDecoder`` dense weights → framework CGDecoder
+    params, with the final layer's output units permuted so the framework's
+    ``(T, N, C)`` flat interpretation emits the same clouds as the torch
+    ``(C, T, N)`` view (``decoder_output_permutation``)."""
+    params = {}
+    for i in range(4):
+        params[f"TorchDense_{i}"] = {
+            "kernel": _n(sd[f"dense{i + 1}.weight"]).T,
+            "bias": _n(sd[f"dense{i + 1}.bias"]),
+        }
+    w_t = _n(sd["dense5.weight"])  # (out_torch, in)
+    b_t = _n(sd["dense5.bias"])
+    perm = decoder_output_permutation(nsteps, nmax, nfeatures)
+    k = np.empty_like(w_t.T)  # (in, out_fw)
+    k[:, perm] = w_t.T
+    b = np.empty_like(b_t)
+    b[perm] = b_t
+    params["TorchDense_4"] = {"kernel": k, "bias": b}
+    return params
+
+
+def torch_cg_discriminator_to_flax(sd: dict):
+    """Reference ``models.CGDiscriminator`` → framework CGDiscriminator."""
+    return {
+        f"TorchDense_{i}": {
+            "kernel": _n(sd[f"model.{li}.weight"]).T,
+            "bias": _n(sd[f"model.{li}.bias"]),
+        }
+        for i, li in enumerate((0, 2, 4))
+    }
+
+
+def torch_sequential_head_to_flax(sd: dict):
+    """``torch.nn.Sequential(Linear, ELU)`` head (``PCAA_ablation.py:778-786``)
+    → framework ProjectionHead params."""
+    return {
+        "TorchDense_0": {
+            "kernel": _n(sd["0.weight"]).T,
+            "bias": _n(sd["0.bias"]),
+        }
+    }
