@@ -142,6 +142,24 @@ class Config:
     # the (1-B2) increments round away at b2=0.99). Approximates the Adam
     # denominator by a rank-1 factorization on those leaves.
     FACTORED_ADAM_NU: bool = False
+    # Cross-phase software pipelining of the generator Adam update: the
+    # decoder's PARAMETER write (p -= lr*m_hat/(sqrt(v_hat)+eps) — a pure
+    # function of the carried moments, independent of this step's
+    # gradients) is deferred into the NEXT scan iteration's body, where it
+    # has no data dependence on the encoder forward and the scheduler can
+    # overlap its ~2.6 GB of HBM streaming with the MXU-bound matmuls
+    # (tools/probe_overlap.py measured 51% of the smaller task hidden
+    # across independent fusions). The moment EMAs stay fused with
+    # gradient production as before; a post-scan flush applies the last
+    # pending write, so the inter-epoch state (validation, checkpoints,
+    # resume) is IDENTICAL to the undeferred schedule. Under f32 moments
+    # the parameter sequence is bit-exact; under bf16 moments the deferred
+    # write recomputes the update from the STORED (rounded) moments rather
+    # than the pre-cast f32 values — a perturbation at the same scale as
+    # the already-gated moment-storage rounding. Costs one extra
+    # moment-tree read per step. Solo-trainer path only (the grid trainer
+    # owns its own scan and asserts this off).
+    DEFERRED_DECODER_UPDATE: bool = False
     # Carry bf16 copies of the decoder-side generator params (decoder +
     # dec head) in the train state and run the G forward/backward against
     # them, refreshing the copies inside the Adam write. Under bf16 compute

@@ -108,6 +108,11 @@ class GridPCAATrainer:
         for f in shape_fields:
             assert len({getattr(c, f) for c in cfgs}) == 1, f"mismatched {f}"
         assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
+        assert not any(c.DEFERRED_DECODER_UPDATE for c in cfgs), (
+            "DEFERRED_DECODER_UPDATE is a solo-trainer schedule: the grid "
+            "trainer owns its own epoch scan and has no post-scan flush, so "
+            "validation would see stale decoder params"
+        )
 
         self.cfgs = list(cfgs)
         self.cfg = cfgs[0]

@@ -147,6 +147,45 @@ def _merge_cached(master, cache):
     )
 
 
+# optax.adam's default epsilon; build_pcaa never overrides it.
+_ADAM_EPS = 1e-8
+
+
+def _deferred_decoder_write(cfg: Config, opt_g, params_dec, scale):
+    """Apply the pending decoder Adam parameter write from carried moments.
+
+    ``Config.DEFERRED_DECODER_UPDATE``: the write ``p -= lr*m̂/(√v̂+eps)``
+    is a pure function of the moments the previous step already stored, so
+    it can run at the START of the next step's body — data-independent of
+    the encoder forward, letting the scheduler overlap its HBM streaming
+    with the MXU-bound matmuls (tools/probe_overlap.py). ``scale`` is 0.0
+    on the first body of an epoch (nothing pending after the post-scan
+    flush) and 1.0 otherwise; the formula is arranged so ``scale == 0``
+    reproduces ``p`` bit-exactly.
+    """
+    adam_st = opt_g[0]
+    cnt = adam_st.count.astype(jnp.float32)
+    # Guard count == 0 (fresh state, scale == 0): 1 - B1**0 == 0 would put
+    # a 0/0 NaN on the masked path, and NaN * 0 is still NaN. The guard
+    # value must be O(1), not finfo.tiny: XLA's algebraic simplifier merges
+    # the consecutive divides (m/c1)/denom into m/(c1*denom), and
+    # tiny*denom underflows to 0 — reintroducing the 0/0 under jit even
+    # though the unoptimized graph is NaN-free (observed on CPU XLA).
+    fresh = cnt == 0.0
+    c1 = jnp.where(fresh, 1.0, 1.0 - cfg.B1**cnt)
+    c2 = jnp.where(fresh, 1.0, 1.0 - cfg.B2**cnt)
+
+    def wr(p, m, v):
+        m32 = m.astype(jnp.float32)
+        v32 = v.astype(jnp.float32)
+        upd = (m32 / c1) / (jnp.sqrt(v32 / c2) + _ADAM_EPS)
+        return p - (scale * cfg.LR) * upd
+
+    return jax.tree_util.tree_map(
+        wr, params_dec, adam_st.mu["decoder"], adam_st.nu["decoder"]
+    )
+
+
 def build_pcaa(
     cfg: Config, spec: VariantSpec, key: jax.Array
 ) -> Tuple[PCAAModules, PCAAState]:
@@ -250,6 +289,15 @@ def build_pcaa(
         mods.tx_g = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
         mods.tx_d = optax.adam(cfg.LR, b1=cfg.B1, b2=cfg.B2, mu_dtype=mu_dtype)
 
+    if cfg.DEFERRED_DECODER_UPDATE:
+        assert spec.use_decoder, "DEFERRED_DECODER_UPDATE targets the decoder"
+        assert not cfg.FUSED_ADAM and not cfg.FACTORED_ADAM_NU, (
+            "DEFERRED_DECODER_UPDATE recomputes the write from the stored "
+            "(count, mu, nu) moments — the fused kernel writes params "
+            "inside its own pass and the factored state has no per-element "
+            "nu to recompute from"
+        )
+
     cast_g: Any = {}
     if cfg.BF16_WEIGHT_CACHE:
         assert cfg.COMPUTE_DTYPE == "bfloat16", (
@@ -303,6 +351,22 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         # random realizations.
         new_key, k_z, k_alpha = jax.random.split(state.key, 3)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+
+        # --- deferred decoder parameter write (cross-phase pipelining) ----
+        # Bring the decoder up to date with the moments the PREVIOUS body
+        # stored. No data dependence on the encoder forward below — the two
+        # can execute concurrently (Config.DEFERRED_DECODER_UPDATE). Body 0
+        # of each epoch has nothing pending (post-scan flush), so scale=0
+        # reduces the write to an exact no-op.
+        dec_params = None
+        cast_dec = None
+        if cfg.DEFERRED_DECODER_UPDATE:
+            write_scale = (step_idx > 0).astype(jnp.float32)
+            dec_params = _deferred_decoder_write(
+                cfg, state.opt_g, state.params_g["decoder"], write_scale
+            )
+            if cfg.BF16_WEIGHT_CACHE:
+                cast_dec = {"decoder": _cache_tree(dec_params)}
 
         # --- ONE encoder forward (train mode) for the whole step ----------
         # The reference reuses its single forward's graph for both the
@@ -438,7 +502,16 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         down_params = {
             k: v for k, v in state.params_g.items() if k != "encoder"
         }
-        if cfg.BF16_WEIGHT_CACHE:
+        if cfg.DEFERRED_DECODER_UPDATE:
+            # The decoder the loss sees is the freshly-written one (level
+            # k-1, exactly what the undeferred schedule would use here).
+            down_params = {**down_params, "decoder": dec_params}
+            if cfg.BF16_WEIGHT_CACHE:
+                down_params = {
+                    **down_params,
+                    "decoder": _merge_cached(dec_params, cast_dec["decoder"]),
+                }
+        elif cfg.BF16_WEIGHT_CACHE:
             # Differentiate wrt the carried bf16 decoder copy instead of the
             # f32 master: the loss is f(cast(p)) either way, and d/dp of
             # that is exactly upcast(d/d cast(p)) — so upcasting these
@@ -494,6 +567,24 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             new_opt_g = (ScaleByAdamLowmemState(cnt2, mu2, nu2),) + tuple(
                 state.opt_g[1:]
             )
+        elif cfg.DEFERRED_DECODER_UPDATE:
+            # Moments update as usual (the EMA writes stay fused with
+            # gradient production), but the decoder's parameter delta is
+            # NOT applied here — its update leaves are dead and DCE'd; the
+            # write happens from the stored moments at the top of the next
+            # body (or the post-scan flush). The carried decoder params
+            # stay at level k-1 = `dec_params`.
+            g_updates, new_opt_g = mods.tx_g.update(
+                g_grads, state.opt_g, state.params_g
+            )
+            upd_nodec = {k: v for k, v in g_updates.items() if k != "decoder"}
+            par_nodec = {
+                k: v for k, v in state.params_g.items() if k != "decoder"
+            }
+            new_params_g = {
+                **optax.apply_updates(par_nodec, upd_nodec),
+                "decoder": dec_params,
+            }
         else:
             g_updates, new_opt_g = mods.tx_g.update(
                 g_grads, state.opt_g, state.params_g
@@ -509,11 +600,16 @@ def make_train_step(mods: PCAAModules, cfg: Config):
             "n_correct": jnp.sum(preds == labels).astype(jnp.float32),
         }
         if cfg.BF16_WEIGHT_CACHE:
-            # Refresh the bf16 copy from the just-updated master; XLA fuses
-            # the cast into the Adam write pipeline (the new params are
-            # still in registers), so this costs one bf16 write, not an
-            # extra f32 read.
-            new_cast = {"decoder": _cache_tree(new_params_g["decoder"])}
+            if cfg.DEFERRED_DECODER_UPDATE:
+                # Cast refreshed at the deferred write above — it already
+                # matches the carried master (both at level k-1).
+                new_cast = cast_dec
+            else:
+                # Refresh the bf16 copy from the just-updated master; XLA
+                # fuses the cast into the Adam write pipeline (the new
+                # params are still in registers), so this costs one bf16
+                # write, not an extra f32 read.
+                new_cast = {"decoder": _cache_tree(new_params_g["decoder"])}
         else:
             new_cast = state.cast_g
         new_state = state.replace(
@@ -574,6 +670,22 @@ def make_epoch_fns(mods: PCAAModules, cfg: Config, mesh=None):
         steps = jnp.arange(perm.shape[0])
         xs = (steps, perm) if noise is None else (steps, perm) + tuple(noise)
         state, metrics = jax.lax.scan(body, state, xs)
+        if cfg.DEFERRED_DECODER_UPDATE:
+            # Flush the last body's pending decoder write so the state
+            # handed to validation / checkpointing / the next epoch is
+            # IDENTICAL to the undeferred schedule's.
+            dec_final = _deferred_decoder_write(
+                cfg, state.opt_g, state.params_g["decoder"], jnp.float32(1.0)
+            )
+            new_cast = (
+                {"decoder": _cache_tree(dec_final)}
+                if cfg.BF16_WEIGHT_CACHE
+                else state.cast_g
+            )
+            state = state.replace(
+                params_g={**state.params_g, "decoder": dec_final},
+                cast_g=new_cast,
+            )
         return state, metrics
 
     def valid_epoch(state: PCAAState, x_all, y_all, perm):
