@@ -93,13 +93,20 @@ def orced_ensemble_ood_detection(
     return out
 
 
-def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
+def _orced_pass(
+    encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128, eps=None
+):
     """Batched eval pass → (preds, latents, per-sample rec errors).
 
     On TPU the encoder trunk routes through the fused Pallas eval path
     (``infer/fast_encoder.py``); note the reparametrization noise stream
     then differs from the flax-derived one — irrelevant for parity, the
     reference's own noise is unseeded torch ``randn`` (SURVEY.md §7.3).
+
+    ``eps``: optional per-sample reparam draws ``(len(x), latent)`` replayed
+    instead of PRNG sampling (rows aligned with ``x``) — the CRN parity
+    path (``tools/parity_twin_orced.py``); forces the flax (non-fused)
+    encoder.
     """
     import jax
 
@@ -109,13 +116,32 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
 
     on_tpu = jax.devices()[0].platform != "cpu"
 
+    eps_chunks = None
+    if eps is not None:
+        assert eps.shape[0] == x.shape[0], (eps.shape, x.shape)
+        steps = -(-x.shape[0] // batch_size)
+        pad = steps * batch_size - x.shape[0]
+        ep = (
+            np.concatenate([eps, np.repeat(eps[-1:], pad, axis=0)], axis=0)
+            if pad
+            else eps
+        )
+        eps_chunks = np.asarray(ep, np.float32).reshape(
+            steps, batch_size, eps.shape[1]
+        )
+
     def fwd(chunk, params, step_idx):
         # fold the chunk index in → fresh reparam noise per chunk (the
         # reference draws fresh torch noise per batch; a fixed key would
         # repeat the same eps rows every batch_size samples).
         k = jax.random.fold_in(key, step_idx)
-        e_vars, d_vars = params
-        if on_tpu:
+        e_vars, d_vars, ec = params
+        if ec is not None:
+            logits, z, mu, logvar = encoder.apply(
+                e_vars, chunk, train=False, eps=ec[step_idx],
+                rngs={"reparam": k},
+            )
+        elif on_tpu:
             logits, z, mu, logvar = fused_orced_encoder_apply(
                 e_vars, chunk, k, use_pallas=True
             )
@@ -137,7 +163,8 @@ def _orced_pass(encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128):
         return logits.argmax(axis=1), z, re
 
     preds, zs, res = batched_apply(
-        fwd, x, batch_size, params=(enc_vars, dec_vars), with_index=True
+        fwd, x, batch_size, params=(enc_vars, dec_vars, eps_chunks),
+        with_index=True,
     )
     return preds.astype(np.int64), zs, res
 
@@ -202,9 +229,22 @@ def orced_inference(
     generate_dataset: bool = True,
     batch_size: int = 64,
     seed: int = 0,
+    eps_streams: Optional[Dict[str, np.ndarray]] = None,
+    crop_order: Optional[Dict[str, Sequence[str]]] = None,
 ) -> Dict:
     """Full OR-CED evaluation driver (reference ``ORCED_inference``,
-    ``inference_ORCED.py:257-456``)."""
+    ``inference_ORCED.py:257-456``).
+
+    CRN-parity replay hooks (``tools/parity_twin_orced.py``):
+
+    - ``crop_order``: optional ``{"train"|"test"|"unseen": [basenames]}``
+      evaluation order override (e.g. the reference's raw ``os.listdir``
+      order) — the order is decision-relevant through the train stats
+      pass's ``drop_last`` truncation and the unseen batch filter;
+    - ``eps_streams``: optional ``{"train"|"test"|"unseen":
+      (n_crops, latent)}`` recorded reparam draws (rows aligned with the
+      evaluation order) replayed instead of PRNG noise.
+    """
     import jax
 
     results: Dict = {}
@@ -247,10 +287,28 @@ def orced_inference(
 
         # training statistics pass (drop_last=True in the reference loader,
         # inference_ORCED.py:191-197)
+        eps_tr = eps_te = eps_un = None
+        if eps_streams is not None:
+            eps_tr = eps_streams.get("train")
+            eps_te = eps_streams.get("test")
+            eps_un = eps_streams.get("unseen")
+
+        def reorder(ds, x, y, split_key):
+            if crop_order is None or split_key not in crop_order:
+                return x, y
+            pos = {f: i for i, f in enumerate(ds.filenames)}
+            idx = np.array(
+                [pos[os.path.basename(f)] for f in crop_order[split_key]]
+            )
+            assert len(idx) == len(x), (split_key, len(idx), len(x))
+            return x[idx], y[idx]
+
         x_tr, y_tr = ds_train.load_all()
+        x_tr, y_tr = reorder(ds_train, x_tr, y_tr, "train")
         n_keep = (len(y_tr) // batch_size) * batch_size
         tr_preds, tr_z, tr_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key_tr, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key_tr,
+            batch_size, eps=None if eps_tr is None else eps_tr[:n_keep],
         )
         gt_labels = y_tr[:n_keep].astype(np.int64)
         n_labels = len(np.unique(gt_labels))
@@ -258,8 +316,10 @@ def orced_inference(
 
         # seen test set
         x_te, y_te = ds_test.load_all()
+        x_te, y_te = reorder(ds_test, x_te, y_te, "test")
         te_preds, te_z, te_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_te, key_te, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_te, key_te, batch_size,
+            eps=eps_te,
         )
         test_open_preds = orced_ensemble_ood_detection(
             tr_re, tr_z, thresholds_g, gt_labels, tr_preds, te_preds, te_z, te_re
@@ -268,8 +328,10 @@ def orced_inference(
         # unseen set: leave out the first-encountered subject (fairness vs
         # PCAA's validation subject); batch-level filter by first label.
         x_un, y_un = ds_unseen.load_all()
+        x_un, y_un = reorder(ds_unseen, x_un, y_un, "unseen")
         un_preds, un_z, un_re = _orced_pass(
-            encoder, decoder, enc_vars, dec_vars, x_un, key_un, batch_size
+            encoder, decoder, enc_vars, dec_vars, x_un, key_un, batch_size,
+            eps=eps_un,
         )
         leave_out = int(y_un[0])
         keep = []

@@ -29,13 +29,19 @@ class ORCEDEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool):
+    def __call__(self, x: jnp.ndarray, train: bool, eps: jnp.ndarray = None):
+        """``eps``: optional externally-supplied reparam draw ``(B, latent)``
+        replacing the ``'reparam'`` PRNG sample — the replay path for
+        common-random-numbers parity runs (``tools/parity_twin_orced.py``
+        records the reference's ``torch.randn_like`` values and feeds them
+        here)."""
         feats = GaitBackbone(
             self.pointnet_out_dim, self.dtc_filters, dtype=self.dtype
         )(x, train)
         mu = TorchDense(self.sup_latent_dim, name="MLP_mu")(feats)
         logvar = TorchDense(self.sup_latent_dim, name="MLP_logvar")(feats)
-        eps = jax.random.normal(self.make_rng("reparam"), logvar.shape)
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("reparam"), logvar.shape)
         z = mu + eps * jnp.exp(0.5 * logvar)
         logits = TorchDense(self.n_out_labels, name="MLP_classification")(z)
         return logits, z, mu, logvar

@@ -155,9 +155,11 @@ def make_orced_train_step(models, cfg: Config):
     encoder, decoder, mean_learner, tx = models
     n = cfg.n_classes
 
-    def train_step(state: ORCEDState, pcs, labels, step_idx, kl_mult):
+    def train_step(state: ORCEDState, pcs, labels, step_idx, kl_mult, eps=None):
         # Carried key advances each step → fresh VAE reparam noise every
         # batch of every epoch (the reference draws unseeded torch noise).
+        # ``eps`` (trace-time optional, ``(B, latent)``) replays a recorded
+        # draw instead — the CRN twin path (tools/parity_twin_orced.py).
         new_key, key = jax.random.split(state.key)
         oh = jax.nn.one_hot(labels, n, dtype=jnp.float32)
 
@@ -186,6 +188,7 @@ def make_orced_train_step(models, cfg: Config):
                 },
                 pcs,
                 train=True,
+                eps=eps,
                 rngs={"reparam": key},
                 mutable=["batch_stats"],
             )
@@ -288,23 +291,37 @@ def make_orced_epoch_fns(models, cfg: Config, mesh=None):
         def shard_batch(t):
             return t
 
-    def train_epoch(state, x_all, y_all, perm, kl_mult):
-        def body(state, step_and_idx):
-            step_idx, idx = step_and_idx
+    def train_epoch(state, x_all, y_all, perm, kl_mult, noise=None):
+        """``noise`` (trace-time optional): ``(eps,)`` with ``eps`` of shape
+        ``(steps, B, latent)`` — the recorded reference reparam draws for
+        the CRN replay (mirrors ``train/pcaa.py``'s noise path)."""
+
+        def body(state, xs):
+            if noise is None:
+                step_idx, idx = xs
+                eps = None
+            else:
+                step_idx, idx, eps = xs
             return train_step(
                 state,
                 shard_batch(jnp.take(x_all, idx, axis=0)),
                 shard_batch(jnp.take(y_all, idx, axis=0)),
                 step_idx,
                 kl_mult,
+                eps=eps,
             )
 
         steps = jnp.arange(perm.shape[0])
-        return jax.lax.scan(body, state, (steps, perm))
+        xs = (steps, perm) if noise is None else (steps, perm) + tuple(noise)
+        return jax.lax.scan(body, state, xs)
 
-    def valid_epoch(state, x_all, y_all, perm, key):
-        def body(carry, step_and_idx):
-            step_idx, idx = step_and_idx
+    def valid_epoch(state, x_all, y_all, perm, key, noise=None):
+        def body(carry, xs):
+            if noise is None:
+                step_idx, idx = xs
+                eps = None
+            else:
+                step_idx, idx, eps = xs
             pcs = shard_batch(jnp.take(x_all, idx, axis=0))
             labels = shard_batch(jnp.take(y_all, idx, axis=0))
             # eval mode still samples the reparam noise (models/orced.py).
@@ -315,6 +332,7 @@ def make_orced_epoch_fns(models, cfg: Config, mesh=None):
                 },
                 pcs,
                 train=False,
+                eps=eps,
                 rngs={"reparam": jax.random.fold_in(key, step_idx)},
             )
             rec = decoder.apply({"params": state.params["decoder"]}, z)
@@ -326,7 +344,8 @@ def make_orced_epoch_fns(models, cfg: Config, mesh=None):
             return carry, {"rec_loss": rec_loss, "ce_loss": ce, "n_correct": correct}
 
         steps = jnp.arange(perm.shape[0])
-        _, metrics = jax.lax.scan(body, None, (steps, perm))
+        xs = (steps, perm) if noise is None else (steps, perm) + tuple(noise)
+        _, metrics = jax.lax.scan(body, None, xs)
         return metrics
 
     return (

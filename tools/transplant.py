@@ -173,9 +173,9 @@ def _n(t):
     return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
 
 
-def torch_cg_encoder_to_flax(sd: dict, use_projection_head: bool):
-    """Reference ``models.CGEncoder`` state_dict → framework CGEncoder
-    ``(params, batch_stats)`` trees (inverse of cg_encoder_state_dict)."""
+def _torch_backbone_to_flax(sd: dict):
+    """pc_block + tc_block state_dict entries → framework ``GaitBackbone_0``
+    ``(params, batch_stats)`` subtrees (shared by the CG and ORCED encoders)."""
     pn_p, pn_s, tc_p, tc_s = {}, {}, {}, {}
     for i in range(4):
         pre = f"pc_block.pointnet{i + 1}.module"
@@ -210,10 +210,22 @@ def torch_cg_encoder_to_flax(sd: dict, use_projection_head: bool):
             }
         }
     params = {
-        "GaitBackbone_0": {
-            "PointNetBlock_0": pn_p,
-            "TemporalConvBlock_0": tc_p,
-        },
+        "PointNetBlock_0": pn_p,
+        "TemporalConvBlock_0": tc_p,
+    }
+    batch_stats = {
+        "PointNetBlock_0": pn_s,
+        "TemporalConvBlock_0": tc_s,
+    }
+    return params, batch_stats
+
+
+def torch_cg_encoder_to_flax(sd: dict, use_projection_head: bool):
+    """Reference ``models.CGEncoder`` state_dict → framework CGEncoder
+    ``(params, batch_stats)`` trees (inverse of cg_encoder_state_dict)."""
+    bb_p, bb_s = _torch_backbone_to_flax(sd)
+    params = {
+        "GaitBackbone_0": bb_p,
         "MLP_sup1": {
             "kernel": _n(sd["MLP_sup1.0.weight"]).T,
             "bias": _n(sd["MLP_sup1.0.bias"]),
@@ -228,13 +240,7 @@ def torch_cg_encoder_to_flax(sd: dict, use_projection_head: bool):
             "kernel": _n(sd["MLP_head.0.weight"]).T,
             "bias": _n(sd["MLP_head.0.bias"]),
         }
-    batch_stats = {
-        "GaitBackbone_0": {
-            "PointNetBlock_0": pn_s,
-            "TemporalConvBlock_0": tc_s,
-        }
-    }
-    return params, batch_stats
+    return params, {"GaitBackbone_0": bb_s}
 
 
 def torch_cg_decoder_to_flax(sd: dict, nsteps: int, nmax: int, nfeatures: int):
@@ -257,6 +263,61 @@ def torch_cg_decoder_to_flax(sd: dict, nsteps: int, nmax: int, nfeatures: int):
     b[perm] = b_t
     params["TorchDense_4"] = {"kernel": k, "bias": b}
     return params
+
+
+def torch_orced_encoder_to_flax(sd: dict):
+    """Reference ``models.ORCEDEncoder`` state_dict → framework ORCEDEncoder
+    ``(params, batch_stats)`` trees (inverse of orced_encoder_state_dict;
+    same backbone as the CG encoder, μ/logvar/classification heads)."""
+    bb_p, bb_s = _torch_backbone_to_flax(sd)
+    params = {
+        "GaitBackbone_0": bb_p,
+        "MLP_mu": {
+            "kernel": _n(sd["MLP_mu.0.weight"]).T,
+            "bias": _n(sd["MLP_mu.0.bias"]),
+        },
+        "MLP_logvar": {
+            "kernel": _n(sd["MLP_logvar.0.weight"]).T,
+            "bias": _n(sd["MLP_logvar.0.bias"]),
+        },
+        "MLP_classification": {
+            "kernel": _n(sd["MLP_classification.0.weight"]).T,
+            "bias": _n(sd["MLP_classification.0.bias"]),
+        },
+    }
+    return params, {"GaitBackbone_0": bb_s}
+
+
+def torch_orced_decoder_to_flax(sd: dict, nsteps: int, nmax: int, nfeatures: int):
+    """Reference ``models.ORCEDDecoder`` dense weights → framework
+    ORCEDDecoder params — identical dense1..5 key space and flat-output
+    permutation as the CG decoder (``models.py:503-545``)."""
+    return torch_cg_decoder_to_flax(sd, nsteps, nmax, nfeatures)
+
+
+def torch_mean_learner_to_flax(sd: dict):
+    """Reference ``models.GaussianMeanLearner`` state_dict → framework
+    GaussianMeanLearner ``(params, batch_stats)`` (inverse of
+    mean_learner_state_dict)."""
+    params, stats = {}, {}
+    for i, li in enumerate((0, 3, 6)):
+        params[f"TorchDense_{i}"] = {
+            "kernel": _n(sd[f"model.{li}.weight"]).T,
+            "bias": _n(sd[f"model.{li}.bias"]),
+        }
+        params[f"TorchBatchNorm_{i}"] = {
+            "scale": _n(sd[f"model.{li + 1}.weight"]),
+            "bias": _n(sd[f"model.{li + 1}.bias"]),
+        }
+        stats[f"TorchBatchNorm_{i}"] = {
+            "mean": _n(sd[f"model.{li + 1}.running_mean"]),
+            "var": _n(sd[f"model.{li + 1}.running_var"]),
+        }
+    params["TorchDense_3"] = {
+        "kernel": _n(sd["model.9.weight"]).T,
+        "bias": _n(sd["model.9.bias"]),
+    }
+    return params, stats
 
 
 def torch_cg_discriminator_to_flax(sd: dict):
