@@ -22,6 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def chunk_rows(x: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad ``x`` to a multiple of ``batch_size`` (repeating the last row) and
+    reshape to ``(steps, batch_size, ...)`` — THE chunking policy of
+    ``batched_apply``. Aux per-sample arrays that must stay row-aligned with
+    ``x`` through a ``batched_apply`` scan (e.g. the ORCED CRN replay's eps
+    stream, ``infer/orced.py::_orced_pass``) must be chunked with this same
+    function."""
+    n = x.shape[0]
+    steps = -(-n // batch_size)
+    pad = steps * batch_size - n
+    xp = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
+    return np.asarray(xp).reshape((steps, batch_size) + x.shape[1:])
+
+
 def batched_apply(
     fn: Callable[..., Tuple[jnp.ndarray, ...]],
     x: np.ndarray,
@@ -43,10 +57,8 @@ def batched_apply(
     ``batch_size`` samples).
     """
     n = x.shape[0]
-    steps = -(-n // batch_size)
-    pad = steps * batch_size - n
-    xp = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
-    xp = jnp.asarray(xp).reshape((steps, batch_size) + x.shape[1:])
+    xp = jnp.asarray(chunk_rows(np.asarray(x), batch_size))
+    steps = xp.shape[0]
 
     @jax.jit
     def run(xs, params):

@@ -118,17 +118,11 @@ def _orced_pass(
 
     eps_chunks = None
     if eps is not None:
+        from opensetgaitrecognition_pcaa_tpu.infer.common import chunk_rows
+
         assert eps.shape[0] == x.shape[0], (eps.shape, x.shape)
-        steps = -(-x.shape[0] // batch_size)
-        pad = steps * batch_size - x.shape[0]
-        ep = (
-            np.concatenate([eps, np.repeat(eps[-1:], pad, axis=0)], axis=0)
-            if pad
-            else eps
-        )
-        eps_chunks = np.asarray(ep, np.float32).reshape(
-            steps, batch_size, eps.shape[1]
-        )
+        # chunked by batched_apply's OWN policy → rows stay aligned with x
+        eps_chunks = chunk_rows(np.asarray(eps, np.float32), batch_size)
 
     def fwd(chunk, params, step_idx):
         # fold the chunk index in → fresh reparam noise per chunk (the

@@ -504,13 +504,16 @@ def make_train_step(mods: PCAAModules, cfg: Config):
         }
         if cfg.DEFERRED_DECODER_UPDATE:
             # The decoder the loss sees is the freshly-written one (level
-            # k-1, exactly what the undeferred schedule would use here).
-            down_params = {**down_params, "decoder": dec_params}
-            if cfg.BF16_WEIGHT_CACHE:
-                down_params = {
-                    **down_params,
-                    "decoder": _merge_cached(dec_params, cast_dec["decoder"]),
-                }
+            # k-1, exactly what the undeferred schedule would use here) —
+            # through its refreshed bf16 cache when that path is on.
+            down_params = {
+                **down_params,
+                "decoder": (
+                    _merge_cached(dec_params, cast_dec["decoder"])
+                    if cfg.BF16_WEIGHT_CACHE
+                    else dec_params
+                ),
+            }
         elif cfg.BF16_WEIGHT_CACHE:
             # Differentiate wrt the carried bf16 decoder copy instead of the
             # f32 master: the loss is f(cast(p)) either way, and d/dp of

@@ -125,9 +125,18 @@ def test_deferred_with_bf16_stack_runs_and_stays_close(
     off_c = np.asarray(st_off.opt_g[0].count)
     on_c = np.asarray(st_on.opt_g[0].count)
     assert np.array_equal(off_c, on_c)
+    # n_correct is an integer count — a single boundary-prediction flip
+    # moves it by 1, far beyond any float rtol; give it absolute slack and
+    # hold the float losses to bf16-rounding-scale relative agreement.
     np.testing.assert_allclose(
-        np.concatenate([np.ravel(m_off[0][k]) for k in sorted(m_off[0])]),
-        np.concatenate([np.ravel(m_on[0][k]) for k in sorted(m_on[0])]),
+        np.asarray(m_off[0]["n_correct"]),
+        np.asarray(m_on[0]["n_correct"]),
+        atol=2.0,
+    )
+    loss_keys = sorted(k for k in m_off[0] if k != "n_correct")
+    np.testing.assert_allclose(
+        np.concatenate([np.ravel(m_off[0][k]) for k in loss_keys]),
+        np.concatenate([np.ravel(m_on[0][k]) for k in loss_keys]),
         rtol=0.05,
         atol=0.05,
     )
