@@ -26,7 +26,7 @@ Parity quirk kept: the latent "covariance" passed to the cdf is
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, NamedTuple, Optional, Sequence
 
 import jax
 import numpy as np
@@ -51,6 +51,74 @@ from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
 )
 
 
+class ORCEDClassStats(NamedTuple):
+    """Per-class statistics behind the OR-ensemble decision: these (plus the
+    fixed 0.95 latent threshold) are everything the decision stage needs, so
+    they are what the serving export bakes (``infer/serving.py``)."""
+
+    means_z: np.ndarray  # (K, d) latent means over correctly-predicted
+    stds_z: np.ndarray  # (K, d) latent stds over correctly-predicted
+    thresholds_re: np.ndarray  # (K,) rec-error μ_k + 2σ_k
+    n_classes: int
+
+
+def orced_class_stats(
+    rec_err_tr: np.ndarray,
+    f_vecs_tr: np.ndarray,
+    gt_labels: np.ndarray,
+    pred_labels: np.ndarray,
+) -> ORCEDClassStats:
+    """Training-split statistics pass (reference ``inference_ORCED.py:89-98``)."""
+    n_classes = len(np.unique(gt_labels))
+    correct = gt_labels == pred_labels
+
+    means_z, stds_z, thresholds_re = [], [], []
+    for k in range(n_classes):
+        mean_re = np.mean(rec_err_tr[gt_labels == k])
+        std_re = np.std(rec_err_tr[gt_labels == k])
+        sel = f_vecs_tr[correct][gt_labels[correct] == k]
+        means_z.append(np.mean(sel, axis=0))
+        stds_z.append(np.std(sel, axis=0))
+        thresholds_re.append(mean_re + 2 * std_re)
+
+    return ORCEDClassStats(
+        means_z=np.stack(means_z),
+        stds_z=np.stack(stds_z),
+        thresholds_re=np.array(thresholds_re),
+        n_classes=n_classes,
+    )
+
+
+def orced_apply_ood(
+    stats: ORCEDClassStats,
+    thresholds_g: float,
+    x_test_prediction: np.ndarray,
+    z_test: np.ndarray,
+    re_test: np.ndarray,
+) -> np.ndarray:
+    """OR-ensemble decision given the baked stats
+    (reference ``inference_ORCED.py:103-132``)."""
+    n_classes = stats.n_classes
+
+    # latent criterion: score > 0.95 for ALL classes → unseen
+    p_z_ks = np.stack(
+        [
+            # quirk: diag(std), not diag(std²) — see module docstring
+            hyperrectangle_prob(stats.means_z[k], stats.stds_z[k], z_test)
+            for k in range(n_classes)
+        ]
+    )  # (K, n_test)
+    latent_bools = np.sum(1 - p_z_ks < 1 - thresholds_g, axis=0) == n_classes
+
+    # reconstruction criterion: error above predicted-class μ+2σ → unseen
+    thr_re = stats.thresholds_re[np.asarray(x_test_prediction)]
+    rec_err_bools = re_test > thr_re
+
+    out = np.array(x_test_prediction, dtype=np.int64)
+    out[np.logical_or(latent_bools, rec_err_bools)] = n_classes
+    return out
+
+
 def orced_ensemble_ood_detection(
     rec_err_tr: np.ndarray,
     f_vecs_tr: np.ndarray,
@@ -62,35 +130,8 @@ def orced_ensemble_ood_detection(
     re_test: np.ndarray,
 ) -> np.ndarray:
     """Reference ``ORCED_ensemble_ood_detection`` (``inference_ORCED.py:48-132``)."""
-    n_classes = len(np.unique(gt_labels))
-    correct = gt_labels == pred_labels
-
-    means_re, std_re, means_z, stds_z, thresholds_re = [], [], [], [], []
-    for k in range(n_classes):
-        means_re.append(np.mean(rec_err_tr[gt_labels == k]))
-        std_re.append(np.std(rec_err_tr[gt_labels == k]))
-        sel = f_vecs_tr[correct][gt_labels[correct] == k]
-        means_z.append(np.mean(sel, axis=0))
-        stds_z.append(np.std(sel, axis=0))
-        thresholds_re.append(means_re[k] + 2 * std_re[k])
-
-    # latent criterion: score > 0.95 for ALL classes → unseen
-    p_z_ks = np.stack(
-        [
-            # quirk: diag(std), not diag(std²) — see module docstring
-            hyperrectangle_prob(means_z[k], stds_z[k], z_test)
-            for k in range(n_classes)
-        ]
-    )  # (K, n_test)
-    latent_bools = np.sum(1 - p_z_ks < 1 - thresholds_g, axis=0) == n_classes
-
-    # reconstruction criterion: error above predicted-class μ+2σ → unseen
-    thr_re = np.array([thresholds_re[j] for j in x_test_prediction])
-    rec_err_bools = re_test > thr_re
-
-    out = np.array(x_test_prediction, dtype=np.int64)
-    out[np.logical_or(latent_bools, rec_err_bools)] = n_classes
-    return out
+    stats = orced_class_stats(rec_err_tr, f_vecs_tr, gt_labels, pred_labels)
+    return orced_apply_ood(stats, thresholds_g, x_test_prediction, z_test, re_test)
 
 
 def _orced_pass(

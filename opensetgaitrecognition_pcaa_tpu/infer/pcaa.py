@@ -27,7 +27,7 @@ identical; the encoder work drops by 2×.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -176,19 +176,38 @@ def _window_vote(
     return out_preds, out_labels
 
 
-def naive_sequential_procedure(
-    k: int,
+class OpenSetCalibration(NamedTuple):
+    """Per-crop scores + the Youden-J rejection threshold for one run.
+
+    Everything the k-window decision stage (eval voting OR the exported
+    serving function, ``infer/serving.py``) needs, computed in one batched
+    pass per split.
+    """
+
+    log_threshold: float
+    test_ll: np.ndarray
+    test_preds: np.ndarray
+    test_labels: np.ndarray
+    unseen_ll: np.ndarray
+    unseen_preds: np.ndarray
+    unseen_labels: np.ndarray
+    is_val: np.ndarray  # unseen crops held out as threshold-validation
+    n_labels: int
+
+
+def calibrate_open_set(
     encoder,
     enc_vars,
     discriminator_means: np.ndarray,
     cfg: Config,
-    figures_folder: str,
-    model_folder: str,
+    *,
     scenarios_list: Sequence[SCENARIO] = ALL_SCENARIOS,
     seed: int = 0,
     unseen_valid_ratio: float = 0.2,
-    force_pc_subsampling: int = 0,
-) -> Tuple[Dict, np.ndarray, np.ndarray]:
+) -> OpenSetCalibration:
+    """Score the sequential TEST/UNSEEN splits and pick the rejection
+    threshold (reference ``inference_PCAA.py:195-231`` — steps 1–3 of the
+    module docstring)."""
     rng = np.random.default_rng(seed)
 
     ds_test = RadarCropDataset(
@@ -229,19 +248,55 @@ def naive_sequential_procedure(
     )
     log_threshold = best_youden_threshold(det_labels, scores)
 
+    return OpenSetCalibration(
+        log_threshold=log_threshold,
+        test_ll=test_ll,
+        test_preds=test_preds,
+        test_labels=ds_test.labels,
+        unseen_ll=unseen_ll,
+        unseen_preds=unseen_preds,
+        unseen_labels=unseen_labels,
+        is_val=is_val,
+        n_labels=ds_test.n_classes,
+    )
+
+
+def naive_sequential_procedure(
+    k: int,
+    encoder,
+    enc_vars,
+    discriminator_means: np.ndarray,
+    cfg: Config,
+    figures_folder: str,
+    model_folder: str,
+    scenarios_list: Sequence[SCENARIO] = ALL_SCENARIOS,
+    seed: int = 0,
+    unseen_valid_ratio: float = 0.2,
+    force_pc_subsampling: int = 0,
+) -> Tuple[Dict, np.ndarray, np.ndarray]:
+    cal = calibrate_open_set(
+        encoder,
+        enc_vars,
+        discriminator_means,
+        cfg,
+        scenarios_list=scenarios_list,
+        seed=seed,
+        unseen_valid_ratio=unseen_valid_ratio,
+    )
+    log_threshold, n_labels = cal.log_threshold, cal.n_labels
+
     # --- k-window voting ------------------------------------------------
-    n_labels = ds_test.n_classes
     p1, l1 = _window_vote(
-        test_ll, test_preds, ds_test.labels, k, log_threshold, n_labels
+        cal.test_ll, cal.test_preds, cal.test_labels, k, log_threshold, n_labels
     )
     p2, l2 = _window_vote(
-        unseen_ll,
-        unseen_preds,
-        unseen_labels,
+        cal.unseen_ll,
+        cal.unseen_preds,
+        cal.unseen_labels,
         k,
         log_threshold,
         n_labels,
-        keep_mask=~is_val,
+        keep_mask=~cal.is_val,
         true_label_override=n_labels,
     )
     final_preds = np.array(p1 + p2)

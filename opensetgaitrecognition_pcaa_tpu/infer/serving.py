@@ -1,0 +1,390 @@
+"""AOT-compiled serving: bake a trained run into a portable decision artifact.
+
+The reference has no deployment story — its inference scripts
+(``inference_PCAA.py``, ``inference_ORCED.py``) re-generate the dataset and
+re-run python decision loops around the torch modules. Here a trained run
+folder is compiled ONCE into a self-contained ``jax.export`` (StableHLO)
+artifact whose only runtime dependency is jax: no flax model definitions,
+no framework code, no dataset access. The artifact computes the full
+open-set decision end-to-end on device:
+
+- **PCAA** (``export_pcaa_decision``): ``(B, k, T, N, C)`` windows of k
+  sequential crops → ``(B,)`` decisions (train-class index, or ``n_labels``
+  = "unknown") + per-window above-threshold counts. Encoder weights, the
+  discriminator mixture centres and the Youden-J rejection threshold
+  (calibrated by ``infer/pcaa.py::calibrate_open_set`` at export time) are
+  baked in as constants.
+- **ORCED** (``export_orced_decision``): ``(B, T, N, C)`` crops + a
+  ``(B, latent)`` reparametrization draw → ``(B,)`` decisions plus the two
+  OR-ensemble criterion flags. Encoder+decoder weights and the per-class
+  statistics (``infer/orced.py::orced_class_stats`` over the training
+  split) are baked in. The reparam noise is an explicit INPUT because the
+  model samples it even in eval (reference quirk, ``models.py:446-500``);
+  the loader draws it from a seeded numpy Generator by default — any
+  standard-normal source is faithful, the reference's own draw is unseeded
+  torch ``randn``.
+
+The batch dimension is symbolic (``jax.export.symbolic_shape``), so one
+artifact serves any batch size, and artifacts are exported for BOTH cpu and
+tpu platforms (the decision graph is pure XLA — the Pallas fast paths are
+deliberately not used here, they are single-platform custom calls).
+
+Decision parity with the eval pipelines: the scoring / criteria math runs
+in float64 exactly like the numpy eval path (the model forward stays f32 —
+the trace runs under ``jax.enable_x64()`` and the only dtype-sensitive
+model input, the ORCED eps, is passed explicitly in f32), so decisions
+match the eval pipeline except where a score sits within ~1 ulp of its
+threshold: the PCAA threshold is itself one of the calibration scores, and
+BLAS-vs-XLA f64 summation order can differ in the last ulp. Exactness is
+regression-tested in ``tests/test_serving.py`` on margin-checked fixtures.
+
+Artifact container: ``MAGIC | u64-LE meta length | meta JSON | StableHLO
+blob`` in one file; ``load_serving_artifact`` returns a callable wrapper.
+
+Note on size: constants are embedded in the artifact, so an ORCED artifact
+carries the full 215M-parameter decoder (~860 MB at reference dims) — that
+is the model, not overhead. PCAA artifacts only need the encoder (~5 MB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from opensetgaitrecognition_pcaa_tpu.config import (
+    SPLIT,
+    VARIATION,
+    variation_from_model_name,
+)
+
+_MAGIC = b"OSGRSRV1"
+# ln(2**-1075): np.exp(x) rounds to exact 0.0 below this — the f64
+# underflow-tie boundary replicated from ops/openset.py::underflow_tied
+# (values within 1 ulp of the boundary may differ from numpy's correctly
+# rounded exp; see module docstring).
+_EXP_UNDERFLOW = -1075.0 * float(np.log(2.0))
+
+
+def _log_joint_likelihood64(fv: jnp.ndarray, means: jnp.ndarray) -> jnp.ndarray:
+    """f64 transcription of ``ops/openset.py::log_joint_likelihood`` (which
+    is the log-space equivalent of reference ``inference_PCAA.py:129-136``),
+    including the underflow ties."""
+    x = fv.astype(jnp.float64)
+    sq = (
+        jnp.sum(x * x, axis=1)[:, None]
+        + jnp.sum(means * means, axis=1)[None, :]
+        - 2.0 * x @ means.T
+    )
+    d = means.shape[1]
+    log_pdf = -0.5 * sq - 0.5 * d * jnp.log(2.0 * jnp.pi)
+    ll = jax.nn.logsumexp(log_pdf, axis=1) - jnp.log(float(means.shape[0]))
+    return jnp.where(ll < _EXP_UNDERFLOW, -jnp.inf, ll)
+
+
+def make_pcaa_decision_fn(encoder, n_labels: int, k: int):
+    """→ ``decide(variables, means_f64, log_threshold_f64, windows)``.
+
+    ``windows``: ``(B, k, T, N, C)`` f32, k sequential crops per row.
+    Returns ``(decisions (B,) int32, n_above (B,) int32)`` — the k-window
+    majority vote with likelihood-threshold rejection, decision-identical
+    to ``infer/pcaa.py::_window_vote`` (reference ``inference_PCAA.py:
+    241-314``) for single-label windows.
+    """
+
+    def decide(variables, means, log_threshold, windows):
+        b = windows.shape[0]
+        flat = windows.reshape((b * k,) + windows.shape[2:])
+        logits, fv = encoder.apply(variables, flat, train=False)
+        preds = jnp.argmax(logits, axis=1).astype(jnp.int32).reshape(b, k)
+        ll = _log_joint_likelihood64(fv, means).reshape(b, k)
+        n_above = jnp.sum(ll > log_threshold, axis=1).astype(jnp.int32)
+        counts = jnp.sum(
+            jax.nn.one_hot(preds, n_labels, dtype=jnp.int32), axis=1
+        )  # (b, n_labels)
+        majority = jnp.argmax(counts, axis=1).astype(jnp.int32)
+        decisions = jnp.where(
+            n_above * 2 > k, majority, jnp.int32(n_labels)
+        )
+        return decisions, n_above
+
+    return decide
+
+
+def make_orced_decision_fn(encoder, decoder, n_labels: int):
+    """→ ``decide(e_vars, d_vars, means_z, stds_z, thr_re, x, eps)``.
+
+    ``x``: ``(B, T, N, C)`` f32 crops; ``eps``: ``(B, latent)`` f32 reparam
+    draw. Returns ``(decisions, latent_flag, rec_flag)`` — the OR-ensemble
+    of ``infer/orced.py::orced_apply_ood`` (reference ``inference_ORCED.py:
+    103-132``) fused with the model forward. Stats arrays are f64.
+    """
+    from opensetgaitrecognition_pcaa_tpu.ops import seq_chamfer
+
+    def decide(e_vars, d_vars, means_z, stds_z, thr_re, x, eps):
+        # stats may arrive as host numpy constants — make them traceable
+        means_z, stds_z, thr_re = (
+            jnp.asarray(means_z),
+            jnp.asarray(stds_z),
+            jnp.asarray(thr_re),
+        )
+        logits, z, _mu, _logvar = encoder.apply(e_vars, x, train=False, eps=eps)
+        preds = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        rec = decoder.apply(d_vars, z)
+        re = seq_chamfer(rec, x, avg_out=False)  # (B,) f32
+
+        # latent criterion (f64, the diag(std) quirk preserved: h is
+        # normalized by sqrt(std), ops/openset.py::hyperrectangle_prob)
+        z64 = z.astype(jnp.float64)
+        h = jnp.abs(z64[None, :, :] - means_z[:, None, :]) / jnp.sqrt(
+            stds_z[:, None, :]
+        )  # (K, B, d)
+        phi = 0.5 * (1.0 + jax.scipy.special.erf(h / jnp.sqrt(2.0)))
+        p = jnp.prod(phi, axis=-1) - jnp.prod(1.0 - phi, axis=-1)  # (K, B)
+        latent_flag = (
+            jnp.sum((1.0 - p) < (1.0 - 0.95), axis=0) == n_labels
+        )  # score > 0.95 for ALL classes, reference's exact expression
+
+        # reconstruction criterion: error above predicted-class μ+2σ
+        rec_flag = re.astype(jnp.float64) > thr_re[preds]
+
+        decisions = jnp.where(
+            latent_flag | rec_flag, jnp.int32(n_labels), preds
+        )
+        return decisions, latent_flag, rec_flag
+
+    return decide
+
+
+def _write_artifact(out_path: str, meta: Dict, exported) -> str:
+    blob = exported.serialize()
+    meta_bytes = json.dumps(meta).encode("utf-8")
+    with open(out_path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(blob)
+    return out_path
+
+
+class ServingArtifact:
+    """Loaded decision artifact: ``meta`` dict + device-callable function."""
+
+    def __init__(self, meta: Dict, exported):
+        self.meta = meta
+        self._exported = exported
+
+    def call(self, *args):
+        """Raw call with the exported signature (see ``meta['inputs']``)."""
+        return self._exported.call(*args)
+
+    def decide(
+        self,
+        x: np.ndarray,
+        *,
+        eps: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        """Convenience wrapper: PCAA takes ``x=(B,k,T,N,C)`` windows; ORCED
+        takes ``x=(B,T,N,C)`` crops and draws ``eps`` from
+        ``np.random.default_rng(seed)`` unless given."""
+        x = np.asarray(x, np.float32)
+        if self.meta["model"] == "pcaa":
+            return self.call(x)
+        if eps is None:
+            eps = (
+                np.random.default_rng(seed)
+                .standard_normal((x.shape[0], self.meta["latent_dim"]))
+                .astype(np.float32)
+            )
+        return self.call(x, np.asarray(eps, np.float32))
+
+
+def load_serving_artifact(path: str) -> ServingArtifact:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"not a serving artifact: {path!r}"
+        (meta_len,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(meta_len).decode("utf-8"))
+        exported = jax_export.deserialize(f.read())
+    return ServingArtifact(meta, exported)
+
+
+def _export_multi_platform(fun, specs: Sequence[jax.ShapeDtypeStruct]):
+    """Export for cpu+tpu under an x64 trace (see module docstring)."""
+    with jax.enable_x64():
+        return jax_export.export(jax.jit(fun), platforms=("cpu", "tpu"))(
+            *specs
+        )
+
+
+def export_pcaa_decision(
+    model_name: str,
+    k: int,
+    *,
+    models_path: str = "models",
+    data_path: Optional[str] = None,
+    out_path: Optional[str] = None,
+    generate_dataset: bool = True,
+    seed: int = 0,
+    unseen_valid_ratio: float = 0.2,
+    variation: Optional[VARIATION] = None,
+) -> Tuple[str, Dict]:
+    """Calibrate + compile one trained PCAA run into a decision artifact.
+
+    Runs the eval pipeline's own calibration (``calibrate_open_set`` —
+    threshold selection on the generated TEST/UNSEEN splits, reference
+    ``inference_PCAA.py:195-231``), then bakes weights + centres +
+    threshold into an exported function. Returns ``(path, meta)``.
+    """
+    from opensetgaitrecognition_pcaa_tpu.infer.pcaa import (
+        calibrate_open_set,
+        pcaa_inference_setup,
+    )
+
+    var = variation or variation_from_model_name(model_name)
+    cfg, encoder, enc_vars, means = pcaa_inference_setup(
+        model_name,
+        var,
+        models_path=models_path,
+        data_path=data_path,
+        generate_dataset=generate_dataset,
+    )
+    cal = calibrate_open_set(
+        encoder,
+        enc_vars,
+        means,
+        cfg,
+        seed=seed,
+        unseen_valid_ratio=unseen_valid_ratio,
+    )
+
+    decide = make_pcaa_decision_fn(encoder, cal.n_labels, k)
+    enc_host = jax.device_get(enc_vars)
+    means64 = np.asarray(means, np.float64)
+    thr = np.float64(cal.log_threshold)
+
+    def baked(windows):
+        return decide(enc_host, means64, thr, windows)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct(
+        (b, k, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32
+    )
+    exported = _export_multi_platform(baked, [spec])
+
+    meta = {
+        "format": "osgr-serving-v1",
+        "model": "pcaa",
+        "model_name": model_name,
+        "variation": var.value,
+        "k": k,
+        "n_labels": cal.n_labels,
+        "unknown_label": cal.n_labels,
+        "log_threshold": float(cal.log_threshold),
+        "inputs": [f"windows (b, {k}, {cfg.NSTEPS}, {cfg.NMAX}, "
+                   f"{cfg.NFEATURES}) f32"],
+        "outputs": ["decisions (b,) i32", "n_above_threshold (b,) i32"],
+    }
+    out_path = out_path or os.path.join(
+        models_path, model_name, f"serving_decision_k{k}.osgr"
+    )
+    return _write_artifact(out_path, meta, exported), meta
+
+
+def export_orced_decision(
+    model_name: str,
+    *,
+    models_path: str = "models",
+    data_path: Optional[str] = None,
+    out_path: Optional[str] = None,
+    generate_dataset: bool = True,
+    batch_size: int = 64,
+    seed: int = 0,
+) -> Tuple[str, Dict]:
+    """Calibrate + compile one trained OR-CED run into a decision artifact.
+
+    Runs the eval pipeline's training-split statistics pass (reference
+    ``inference_ORCED.py:282-307`` → per-class stats ``:89-98``), then bakes
+    encoder+decoder weights and the stats. Returns ``(path, meta)``.
+    """
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.infer.orced import (
+        _orced_pass,
+        orced_class_stats,
+        orced_inference_setup,
+    )
+
+    cfg, encoder, decoder, enc_vars, dec_vars, _ = orced_inference_setup(
+        model_name,
+        models_path=models_path,
+        data_path=data_path,
+        generate_dataset=generate_dataset,
+    )
+    ds_train = RadarCropDataset(
+        SPLIT.TRAIN,
+        cfg.GEN_DATA_PATH,
+        subsample_factor=cfg.SUBSAMPLE_FACTOR,
+        subsample_rng=np.random.default_rng(seed),
+    )
+    x_tr, y_tr = ds_train.load_all()
+    n_keep = (len(y_tr) // batch_size) * batch_size  # drop_last, as in eval
+    tr_preds, tr_z, tr_re = _orced_pass(
+        encoder,
+        decoder,
+        enc_vars,
+        dec_vars,
+        x_tr[:n_keep],
+        jax.random.PRNGKey(seed),
+        batch_size,
+    )
+    stats = orced_class_stats(
+        tr_re, tr_z, y_tr[:n_keep].astype(np.int64), tr_preds
+    )
+
+    decide = make_orced_decision_fn(encoder, decoder, stats.n_classes)
+    e_host, d_host = jax.device_get((enc_vars, dec_vars))
+    means_z = np.asarray(stats.means_z, np.float64)
+    stds_z = np.asarray(stats.stds_z, np.float64)
+    thr_re = np.asarray(stats.thresholds_re, np.float64)
+
+    def baked(x, eps):
+        return decide(e_host, d_host, means_z, stds_z, thr_re, x, eps)
+
+    (b,) = jax_export.symbolic_shape("b")
+    latent = cfg.SUP_LATENT_DIM
+    specs = [
+        jax.ShapeDtypeStruct(
+            (b, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((b, latent), jnp.float32),
+    ]
+    exported = _export_multi_platform(baked, specs)
+
+    meta = {
+        "format": "osgr-serving-v1",
+        "model": "orced",
+        "model_name": model_name,
+        "n_labels": stats.n_classes,
+        "unknown_label": stats.n_classes,
+        "latent_dim": latent,
+        "inputs": [
+            f"crops (b, {cfg.NSTEPS}, {cfg.NMAX}, {cfg.NFEATURES}) f32",
+            f"eps (b, {latent}) f32 reparam draw",
+        ],
+        "outputs": [
+            "decisions (b,) i32",
+            "latent_criterion (b,) bool",
+            "rec_error_criterion (b,) bool",
+        ],
+    }
+    out_path = out_path or os.path.join(
+        models_path, model_name, "serving_decision.osgr"
+    )
+    return _write_artifact(out_path, meta, exported), meta
