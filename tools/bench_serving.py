@@ -13,7 +13,12 @@ sweep shows the dispatch-latency floor (≈0.5 s/call over the tunnel)
 amortizing away: serving batches should be as large as latency budgets
 allow.
 
-Usage: python tools/bench_serving.py [--batches 1 8 32] [--k 6]
+``--model orced`` benches the OR-CED artifact instead: encoder reparam
+forward + decoder reconstruction + Chamfer + the f64 hyperrectangle
+latent criterion + OR-ensemble rejection (``infer/serving.py::
+make_orced_decision_fn``), per-crop rather than per-k-window.
+
+Usage: python tools/bench_serving.py [--model pcaa orced] [--batches 1 8 32]
 """
 
 import argparse
@@ -27,22 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--k", type=int, default=6)
-    p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
-    p.add_argument("--n-labels", type=int, default=8)
-    p.add_argument("--reps", type=int, default=20)
-    p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
-    args = p.parse_args()
-
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    from jax import export as jax_export
-
+def _export_pcaa(args, jax, jnp, jax_export):
+    """→ (exported, make_inputs, windows_per_decision) at reference dims."""
     from opensetgaitrecognition_pcaa_tpu.infer.serving import (
         _export_multi_platform,
         make_pcaa_decision_fn,
@@ -71,13 +62,105 @@ def main():
 
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, args.k, T, N, C), jnp.float32)
-    t0 = time.perf_counter()
     exported = _export_multi_platform(baked, [spec])
-    print(f"# export trace: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(1)
+
+    def make_inputs(B):
+        return (rng.normal(size=(B, args.k, T, N, C)).astype(np.float32),)
+
+    return exported, make_inputs, args.k
+
+
+def _export_orced(args, jax, jnp, jax_export):
+    """OR-CED decision artifact at reference dims (random init/stats —
+    the graph, hence the latency, is weight-independent)."""
+    from opensetgaitrecognition_pcaa_tpu.infer.serving import (
+        _export_multi_platform,
+        make_orced_decision_fn,
+    )
+    from opensetgaitrecognition_pcaa_tpu.models import (
+        ORCEDDecoder,
+        ORCEDEncoder,
+    )
+
+    T, N, C, LAT = 30, 150, 4, 32
+    enc = ORCEDEncoder(
+        n_out_labels=args.n_labels,
+        sup_latent_dim=LAT,
+        pointnet_out_dim=1024,
+        dtc_filters=(16, 32, 64, 128, 256, 512),
+    )
+    dec = ORCEDDecoder(nsteps=T, nmax_points=N, nfeatures=C)
+    x0 = jnp.zeros((2, T, N, C), jnp.float32)
+    ev = enc.init(
+        jax.random.PRNGKey(0), x0, train=False,
+        eps=jnp.zeros((2, LAT), jnp.float32),
+    )
+    dv = dec.init(jax.random.PRNGKey(1), jnp.zeros((2, LAT), jnp.float32))
+    srng = np.random.default_rng(0)
+    means_z = srng.normal(size=(args.n_labels, LAT))
+    stds_z = np.abs(srng.normal(size=(args.n_labels, LAT))) + 0.5
+    thr_re = np.full((args.n_labels,), 1e9)
+    decide = make_orced_decision_fn(enc, dec, args.n_labels)
+    ev_host, dv_host = jax.device_get((ev, dv))
+
+    def baked(x, eps):
+        return decide(ev_host, dv_host, means_z, stds_z, thr_re, x, eps)
+
+    (b,) = jax_export.symbolic_shape("b")
+    specs = [
+        jax.ShapeDtypeStruct((b, T, N, C), jnp.float32),
+        jax.ShapeDtypeStruct((b, LAT), jnp.float32),
+    ]
+    exported = _export_multi_platform(baked, specs)
+
+    rng = np.random.default_rng(1)
+
+    def make_inputs(B):
+        return (
+            rng.normal(size=(B, T, N, C)).astype(np.float32),
+            rng.normal(size=(B, LAT)).astype(np.float32),
+        )
+
+    return exported, make_inputs, 1
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--k", type=int, default=6)
+    p.add_argument(
+        "--model", nargs="+", choices=("pcaa", "orced"), default=["pcaa"]
+    )
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--n-labels", type=int, default=8)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import export as jax_export
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev}", file=sys.stderr)
 
+    for model in args.model:
+        build = _export_pcaa if model == "pcaa" else _export_orced
+        t0 = time.perf_counter()
+        exported, make_inputs, wpd = build(args, jax, jnp, jax_export)
+        print(
+            f"# {model} export trace: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        run_bench(args, model, exported, make_inputs, wpd, jax, jnp)
+
+
+def run_bench(args, model, exported, make_inputs, windows_per_decision,
+              jax, jnp):
     # on-device per-decision time, dispatch-amortized: exported artifacts
     # are traceable inside jit, so reps run in ONE dispatch via lax.scan
     # with a carried data dependency + output reduction (the DCE-proof
@@ -86,43 +169,43 @@ def main():
     R = args.reps
 
     @jax.jit
-    def scanned(w):
+    def scanned(*inputs):
         def body(carry, _):
-            d, na = exported.call(carry)
-            carry = carry + na.astype(jnp.float32).sum() * 1e-20
-            return carry, d.sum()
-        c, outs = jax.lax.scan(body, w, None, length=R)
-        return outs.sum() + c.sum()
+            outs = exported.call(*carry)
+            d, aux = outs[0], outs[1]
+            first = carry[0] + aux.astype(jnp.float32).sum() * 1e-20
+            return (first,) + tuple(carry[1:]), d.sum()
+        c, outs = jax.lax.scan(body, tuple(inputs), None, length=R)
+        return outs.sum() + c[0].sum()
 
-    rng = np.random.default_rng(1)
     for B in args.batches:
-        w = rng.normal(size=(B, args.k, T, N, C)).astype(np.float32)
+        inputs = make_inputs(B)
         t0 = time.perf_counter()
-        d, _ = exported.call(w)
+        d = exported.call(*inputs)[0]
         np.asarray(jax.device_get(d))
         compile_s = time.perf_counter() - t0
 
         # end-to-end (host → decision → host), tunnel dispatch included
         t0 = time.perf_counter()
         for _ in range(3):
-            d, _ = exported.call(w)
+            d = exported.call(*inputs)[0]
             np.asarray(jax.device_get(d))
         e2e = (time.perf_counter() - t0) / 3
 
         # scan-amortized on-device time
-        wd = jax.device_put(jnp.asarray(w))
-        np.asarray(jax.device_get(scanned(wd)))  # compile + warmup
+        dev_inputs = jax.device_put(tuple(jnp.asarray(a) for a in inputs))
+        np.asarray(jax.device_get(scanned(*dev_inputs)))  # compile + warmup
         t0 = time.perf_counter()
-        np.asarray(jax.device_get(scanned(wd)))
+        np.asarray(jax.device_get(scanned(*dev_inputs)))
         dt = (time.perf_counter() - t0) / R
 
         print(json.dumps({
-            "metric": "pcaa_serving_decision_latency",
+            "metric": f"{model}_serving_decision_latency",
             "batch": B,
-            "k": args.k,
+            "k": args.k if model == "pcaa" else None,
             "device_latency_ms": round(dt * 1e3, 2),
             "decisions_per_s": round(B / dt, 1),
-            "crop_windows_per_s": round(B * args.k / dt, 1),
+            "crop_windows_per_s": round(B * windows_per_decision / dt, 1),
             "e2e_tunnel_latency_ms": round(e2e * 1e3, 1),
             "first_call_s": round(compile_s, 1),
         }))
