@@ -209,7 +209,8 @@ class ServingArtifact:
 def load_serving_artifact(path: str) -> ServingArtifact:
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
-        assert magic == _MAGIC, f"not a serving artifact: {path!r}"
+        if magic != _MAGIC:  # not assert: must survive python -O (public API)
+            raise ValueError(f"not a serving artifact: {path!r}")
         (meta_len,) = struct.unpack("<Q", f.read(8))
         meta = json.loads(f.read(meta_len).decode("utf-8"))
         exported = jax_export.deserialize(f.read())
@@ -335,13 +336,17 @@ def export_orced_decision(
     )
     x_tr, y_tr = ds_train.load_all()
     n_keep = (len(y_tr) // batch_size) * batch_size  # drop_last, as in eval
+    # the TRAIN split's reparam key exactly as orced_inference derives it
+    # (infer/orced.py: key_tr, key_te, key_un = split(PRNGKey(seed), 3)) —
+    # so the baked per-class stats match the eval pipeline's for this seed
+    key_tr = jax.random.split(jax.random.PRNGKey(seed), 3)[0]
     tr_preds, tr_z, tr_re = _orced_pass(
         encoder,
         decoder,
         enc_vars,
         dec_vars,
         x_tr[:n_keep],
-        jax.random.PRNGKey(seed),
+        key_tr,
         batch_size,
     )
     stats = orced_class_stats(
@@ -349,7 +354,17 @@ def export_orced_decision(
     )
 
     decide = make_orced_decision_fn(encoder, decoder, stats.n_classes)
-    e_host, d_host = jax.device_get((enc_vars, dec_vars))
+    # bake HOST copies re-read from the run folder — enc_vars/dec_vars are
+    # device-pinned (orced_inference_setup) and a device_get of the ~860 MB
+    # decoder over the axon tunnel costs minutes; the local msgpack is free
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+        load_params,
+        module_path,
+    )
+
+    run_dir = os.path.join(models_path, model_name)
+    e_host = load_params(module_path(run_dir, model_name, "E"))
+    d_host = load_params(module_path(run_dir, model_name, "G"))
     means_z = np.asarray(stats.means_z, np.float64)
     stds_z = np.asarray(stats.stds_z, np.float64)
     thr_re = np.asarray(stats.thresholds_re, np.float64)

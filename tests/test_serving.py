@@ -148,6 +148,12 @@ class TestPCAADecisionFn:
             np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
             assert np.asarray(d1).shape == (bs,)
 
+    def test_load_rejects_non_artifact(self, tmp_path):
+        junk = tmp_path / "weights.msgpack"
+        junk.write_bytes(b"\x00" * 64)  # 8 zero bytes would be a 0 meta-len
+        with pytest.raises(ValueError, match="not a serving artifact"):
+            load_serving_artifact(str(junk))
+
     def test_underflow_ties_replicated(self):
         # scores whose f64 exp underflows to 0.0 must map to -inf exactly
         # like ops/openset.py::underflow_tied (away from the 1-ulp boundary)
@@ -311,7 +317,7 @@ class TestEndToEndArtifacts:
         n_keep = (len(y_tr) // 32) * 32
         tr_preds, tr_z, tr_re = _orced_pass(
             encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep],
-            jax.random.PRNGKey(0), 32,
+            jax.random.split(jax.random.PRNGKey(0), 3)[0], 32,
         )
         stats = orced_class_stats(
             tr_re, tr_z, y_tr[:n_keep].astype(np.int64), tr_preds
