@@ -203,7 +203,7 @@ def scale_by_adam_factored(
 
         flat_g, treedef = jax.tree_util.tree_flatten(updates)
         flat_m = treedef.flatten_up_to(mu32)
-        flat_v = state.nu if isinstance(state.nu, list) else treedef.flatten_up_to(state.nu)
+        flat_v = treedef.flatten_up_to(state.nu)
         stepped = [upd(g, m, v) for g, m, v in zip(flat_g, flat_m, flat_v)]
         new_updates = jax.tree_util.tree_unflatten(treedef, [s for s, _ in stepped])
         new_nu = jax.tree_util.tree_unflatten(treedef, [v for _, v in stepped])

@@ -59,7 +59,7 @@ class ORCEDState(struct.PyTreeNode):
     key: jax.Array
     # bf16 copies of the decoder's 2-D kernels (Config.BF16_WEIGHT_CACHE):
     # same HBM-traffic optimization as the PCAA trainer — see
-    # train/pcaa.py::_cache_leaf. Empty dict when the flag is off.
+    # train/pcaa.py::_cache_tree. Empty dict when the flag is off.
     cast: Any = struct.field(default_factory=dict)
 
 
@@ -110,6 +110,11 @@ def build_orced(cfg: Config, key: jax.Array):
         "Config.FUSED_ADAM is PCAA-only (ops/pallas/adam_kernel.py is wired "
         "into build_pcaa, and was measured slower even there); unset it for "
         "ORCED runs."
+    )
+    assert not cfg.DEFERRED_DECODER_UPDATE, (
+        "Config.DEFERRED_DECODER_UPDATE is PCAA-only (the deferred Adam "
+        "write lives in train/pcaa.py's scan body, and was measured slower "
+        "even there); unset it for ORCED runs."
     )
     mu_dtype = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else None
     if cfg.FACTORED_ADAM_NU:

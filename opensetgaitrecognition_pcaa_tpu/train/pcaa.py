@@ -918,14 +918,22 @@ def train_pcaa(
         valid_acc = float(
             np.sum(vm["n_correct"]) / (valid_steps * cfg.BATCH_SIZE)
         )
+        # CE/total means run over SUPERVISED batches only — the reference
+        # appends sup_loss/tot_sup_losses solely when
+        # i % SUPERVISION_FREQUENCY == 0 (PCAA_ablation.py:1005-1013) and
+        # wandb-logs np.mean of those lists (:1077,1080). All batches are
+        # supervised at the default frequency 1.
+        sup_mask = (
+            np.arange(len(m["sup_loss"])) % cfg.SUPERVISION_FREQUENCY
+        ) == 0
         epoch_metrics = {
             # reference wandb keys (train_AAE.py:326-337)
             "Reconstruction Loss Train": float(np.mean(m["rec_loss"])),
             "Reconstruction Loss Valid": float(np.mean(vm["rec_loss"])),
-            "Cross Entropy Loss Train": float(np.mean(m["sup_loss"])),
+            "Cross Entropy Loss Train": float(np.mean(m["sup_loss"][sup_mask])),
             "Cross Entropy Loss Valid": float(np.mean(vm["ce_loss"])),
             "Discriminator Loss": float(np.mean(m["d_loss"])),
-            "Total Loss Train": float(np.mean(m["tot_loss"])),
+            "Total Loss Train": float(np.mean(m["tot_loss"][sup_mask])),
             "Train Accuracy": train_acc,
             "Valid Accuracy": valid_acc,
         }
