@@ -54,13 +54,13 @@ class RadarCropDataset:
         self.dataset_dir = os.path.join(gen_data_path, split.value)
         self.sequential = sequential
 
-        names = sorted(os.listdir(self.dataset_dir))
+        # Raw (unsorted) listing kept separately: the label remap below must
+        # reproduce the reference's set-insertion order, which is
+        # first-encounter over this raw order. Data order itself is sorted
+        # for determinism (documented deviation). Each name parses once.
+        raw = [(f, parse_crop_filename(f)) for f in os.listdir(self.dataset_dir)]
         scen_values = {s.value for s in scenarios}
-        parsed = [
-            (f, parse_crop_filename(f))
-            for f in names
-            if parse_crop_filename(f)[2] in scen_values
-        ]
+        parsed = sorted((fp for fp in raw if fp[1][2] in scen_values))
 
         if sequential:
             # Order by (subject, scenario, track, crop index) so consecutive
@@ -97,7 +97,22 @@ class RadarCropDataset:
         # subject id ≥ 8 was unseen (measured in round 3's shared-weights
         # decision parity: ~300 of ~1100 decision crops differed per side
         # before this fix).
-        classes = list(set(self.original_labels.tolist()))
+        #
+        # Insertion order matters too, in one regime: sets of ≤ 4 ints keep
+        # the initial 8-slot table, so the colliding pairs {0, 8} and {1, 9}
+        # iterate in INSERTION order (list({1, 9}) == [1, 9] but
+        # list({9, 1}) == [9, 1]); 5+ element sets resize to 32 slots where
+        # ids 0-9 never collide. The reference inserts labels in
+        # first-encounter order over its raw ``os.listdir`` (its filenames
+        # are never sorted, ``datasets.py:415,433-436``), so the remap here
+        # replays first encounters over the SAME raw listing restricted to
+        # the kept files — exact on any filesystem the two sides share.
+        # Affects ablation configs with 2- or 4-subject label sets
+        # containing 0&8 or 1&9.
+        kept = {f for f, _ in parsed}
+        classes = list({
+            p[1] for f, p in raw if f in kept
+        })
         self.class_map = {c: i for i, c in enumerate(classes)}
         self.labels = np.array(
             [self.class_map[c] for c in self.original_labels], dtype=np.int32

@@ -29,6 +29,7 @@ import os
 from typing import Dict, NamedTuple, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from opensetgaitrecognition_pcaa_tpu.config import SPLIT, Config
@@ -37,6 +38,7 @@ from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
 from opensetgaitrecognition_pcaa_tpu.infer.artifacts import (
     openset_metrics,
     plot_openset_confusion_matrix,
+    save_json,
 )
 from opensetgaitrecognition_pcaa_tpu.infer.common import batched_apply
 from opensetgaitrecognition_pcaa_tpu.models import (
@@ -149,8 +151,6 @@ def _orced_pass(
     path (``tools/parity_twin_orced.py``); forces the flax (non-fused)
     encoder.
     """
-    import jax
-
     from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
         fused_orced_encoder_apply,
     )
@@ -235,8 +235,6 @@ def orced_inference_setup(
         nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
     )
     mean_learner = GaussianMeanLearner(cfg.SUP_LATENT_DIM)
-    import jax
-
     # Pin weights on device once — host-numpy params re-upload per jit call
     # otherwise (the 860 MB decoder costs ~minutes per transfer over the
     # axon tunnel).
@@ -247,8 +245,6 @@ def orced_inference_setup(
     # cluster means: eval-mode mean learner on the identity one-hots
     # (reference inference_ORCED.py:246-251; computed though unused by the
     # ensemble decision — kept for contract parity).
-    import jax.numpy as jnp
-
     oh = jnp.eye(cfg.n_classes, dtype=jnp.float32)
     cluster_means = np.asarray(mean_learner.apply(ml_vars, oh, train=False))
 
@@ -280,8 +276,6 @@ def orced_inference(
       (n_crops, latent)}`` recorded reparam draws (rows aligned with the
       evaluation order) replayed instead of PRNG noise.
     """
-    import jax
-
     results: Dict = {}
     for model_name in model_names:
         figures_folder = os.path.join(figures_path, model_name)
@@ -356,8 +350,11 @@ def orced_inference(
             encoder, decoder, enc_vars, dec_vars, x_te, key_te, batch_size,
             eps=eps_te,
         )
-        test_open_preds = orced_ensemble_ood_detection(
-            tr_re, tr_z, thresholds_g, gt_labels, tr_preds, te_preds, te_z, te_re
+        # per-class train stats once — identical inputs for both splits
+        # (orced_ensemble_ood_detection would redo this K-class pass twice)
+        stats = orced_class_stats(tr_re, tr_z, gt_labels, tr_preds)
+        test_open_preds = orced_apply_ood(
+            stats, thresholds_g, te_preds, te_z, te_re
         )
 
         # unseen set: leave out the first-encountered subject (fairness vs
@@ -377,12 +374,9 @@ def orced_inference(
         keep_idx = (
             np.concatenate(keep) if keep else np.empty((0,), dtype=np.int64)
         )
-        unseen_open_preds = orced_ensemble_ood_detection(
-            tr_re,
-            tr_z,
+        unseen_open_preds = orced_apply_ood(
+            stats,
             thresholds_g,
-            gt_labels,
-            tr_preds,
             un_preds[keep_idx],
             un_z[keep_idx],
             un_re[keep_idx],
@@ -411,8 +405,6 @@ def orced_inference(
         # beyond-reference: persist the metrics next to the run (the
         # reference only PRINTS them, inference_ORCED.py:425-428), so
         # scripts/collect_results.py can aggregate ORCED cells too.
-        from opensetgaitrecognition_pcaa_tpu.infer.artifacts import save_json
-
         save_json(
             metrics,
             os.path.join(models_path, model_name, "ensemble_ood_log.json"),

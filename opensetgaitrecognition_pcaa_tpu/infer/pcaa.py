@@ -273,16 +273,21 @@ def naive_sequential_procedure(
     seed: int = 0,
     unseen_valid_ratio: float = 0.2,
     force_pc_subsampling: int = 0,
+    cal=None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray]:
-    cal = calibrate_open_set(
-        encoder,
-        enc_vars,
-        discriminator_means,
-        cfg,
-        scenarios_list=scenarios_list,
-        seed=seed,
-        unseen_valid_ratio=unseen_valid_ratio,
-    )
+    # ``cal`` is k-independent (fixed seed; k only enters the pure-numpy
+    # window vote below) — pcaa_inference computes it ONCE and passes it in
+    # so a ks sweep doesn't re-encode the TEST/UNSEEN splits per k.
+    if cal is None:
+        cal = calibrate_open_set(
+            encoder,
+            enc_vars,
+            discriminator_means,
+            cfg,
+            scenarios_list=scenarios_list,
+            seed=seed,
+            unseen_valid_ratio=unseen_valid_ratio,
+        )
     log_threshold, n_labels = cal.log_threshold, cal.n_labels
 
     # --- k-window voting ------------------------------------------------
@@ -362,6 +367,16 @@ def pcaa_inference(
         )
 
         out_log: Dict = {}
+        # k-independent calibration (encoder passes + threshold), once per run
+        cal = calibrate_open_set(
+            encoder,
+            enc_vars,
+            means,
+            cfg,
+            scenarios_list=scenarios_list,
+            seed=0,
+            unseen_valid_ratio=0.2,
+        )
         for k in ks:
             metrics, final_preds, final_labels = naive_sequential_procedure(
                 k,
@@ -375,6 +390,7 @@ def pcaa_inference(
                 seed=0,
                 unseen_valid_ratio=0.2,
                 force_pc_subsampling=force_pc_subsampling,
+                cal=cal,
             )
 
             # preds/labels npy contract (inference_PCAA.py:440-455)

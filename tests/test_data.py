@@ -191,6 +191,35 @@ class TestRadarCropDataset:
                 assert crop == prev[1] + 1
             prev = (key, crop)
 
+    def test_remap_follows_raw_listdir_encounter_order(self, monkeypatch):
+        # The reference remaps via list(set(labels)) with labels in RAW
+        # os.listdir order (never sorted, datasets.py:415,433-436). For ≤4
+        # ids containing a colliding pair ({0,8} or {1,9} in the 8-slot
+        # table) set iteration follows INSERTION order, so the remap must
+        # replay raw-listing first encounters, not sorted-name order.
+        assert list({1, 9}) == [1, 9] and list({9, 1}) == [9, 1]  # CPython
+
+        names_9_first = [
+            "crop0_subj9_free_walk_track0.npy",
+            "crop0_subj1_free_walk_track0.npy",
+            "crop1_subj9_free_walk_track0.npy",
+        ]
+
+        def fake_listdir(path):
+            return list(names_9_first)
+
+        monkeypatch.setattr("os.listdir", fake_listdir)
+        ds = RadarCropDataset(SPLIT.UNSEEN, "/nonexistent")
+        assert ds.class_map == {9: 0, 1: 1}
+        # data order stays sorted regardless of listing order
+        assert ds.filenames == sorted(names_9_first)
+
+        names_1_first = [names_9_first[1], names_9_first[0], names_9_first[2]]
+        monkeypatch.setattr("os.listdir", lambda path: list(names_1_first))
+        ds2 = RadarCropDataset(SPLIT.UNSEEN, "/nonexistent")
+        assert ds2.class_map == {1: 0, 9: 1}
+        assert ds2.filenames == sorted(names_9_first)
+
     def test_scenario_filter(self, generated_splits):
         gen, _ = generated_splits
         ds = RadarCropDataset(
