@@ -31,8 +31,10 @@ def pallas_parity_check() -> dict:
     path). Round-2 VERDICT item 8: one case per guard branch — fused AND
     fallback — so a regression in either routing guard fails the bench.
 
-    Returns ``{case_name: bool}`` for four shapes:
-    - ``chamfer_fused_n150``: reference dims, fused Mosaic kernel
+    Returns ``{case_name: bool}`` for five shapes:
+    - ``chamfer_fused_n150``: reference dims, fused Mosaic kernel (grid 3)
+    - ``chamfer_fused_grid1``: B·T ≤ 8 — documents that small grids compile
+      for THIS kernel (the pointnet kernel's grids-1-3 crash doesn't apply)
     - ``chamfer_fallback_n704``: N > _MAX_FUSED_POINTS → XLA fallback branch
     - ``pointnet_fused_n150``: reference dims, fused kernel path
     - ``pointnet_fallback_big``: working set over _WORKSET_BUDGET_BYTES →
@@ -60,18 +62,22 @@ def pallas_parity_check() -> dict:
     # f32 cancellation noise exceeds 1e-4; vs a float64 brute-force oracle
     # the kernel is the MORE accurate side (1.3e-2 vs 3.7e-2 absolute on
     # this fixture, i.e. ~2e-4 relative disagreement between the two).
-    def chamfer_case(n_points):
+    def chamfer_case(n_points, b=4, t=6):
         preds = jnp.asarray(
-            rng.normal(size=(4, 6, n_points, 4)).astype(np.float32)
+            rng.normal(size=(b, t, n_points, 4)).astype(np.float32)
         )
         gts = jnp.asarray(
-            rng.normal(size=(4, 6, n_points, 4)).astype(np.float32)
+            rng.normal(size=(b, t, n_points, 4)).astype(np.float32)
         )
         got = np.asarray(jax.device_get(seq_chamfer_pallas(preds, gts)))
         want = np.asarray(jax.device_get(seq_chamfer(preds, gts)))
         return bool(np.allclose(got, want, rtol=1e-3, atol=1e-3))
 
-    results["chamfer_fused_n150"] = chamfer_case(150)
+    results["chamfer_fused_n150"] = chamfer_case(150)  # grid 3
+    # grid-1 Mosaic compile: unlike the pointnet kernel, small grids work
+    # for this kernel on hardware — this case keeps that measured (the
+    # seq_chamfer_pallas docstring cites it; a regression fails the bench)
+    results["chamfer_fused_grid1"] = chamfer_case(150, b=1, t=6)
     n_fallback = chamfer_kernel._MAX_FUSED_POINTS + 64  # 704: XLA branch
     results["chamfer_fallback_n704"] = chamfer_case(n_fallback)
 

@@ -24,7 +24,9 @@ def gradient_penalty(
     codes: jnp.ndarray,
     alphas: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One-sided WGAN-GP term.
+    """Standard (two-sided) WGAN-GP term: ``(||grad||_2 - 1)²`` — the
+    reference's exact form (NOT the one-sided ``relu(||g|| - 1)²`` variant;
+    "fixing" this would silently break training parity).
 
     :param critic: maps ``(B, D)`` latents to ``(B,)`` (or ``(B, 1)``) logits.
         Conditioning (the one-hot label concat) is closed over by the caller.

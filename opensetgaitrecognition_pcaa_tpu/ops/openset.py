@@ -66,11 +66,18 @@ def underflow_tied(log_scores: np.ndarray) -> np.ndarray:
 def roc_points(y_true: np.ndarray, scores: np.ndarray):
     """ROC curve points (fpr, tpr, thresholds), sklearn-compatible ordering.
 
-    Thresholds are the distinct scores in decreasing order; a point's tpr/fpr
-    counts samples with ``score >= threshold`` as predicted-positive. Matches
+    Thresholds are the distinct scores in decreasing order, led by sklearn's
+    (fpr=0, tpr=0, threshold=+inf) point; a later point's tpr/fpr counts
+    samples with ``score >= threshold`` as predicted-positive. Matches
     ``sklearn.metrics.roc_curve`` (used at ``inference_PCAA.py:225-231``) up
-    to sklearn's extra (inf, 0, 0) leading point and collinear-point pruning
-    — neither affects the Youden-J argmax.
+    to collinear-point pruning (``drop_intermediate``), which cannot move
+    the Youden-J argmax: ties resolve to the lowest index = the start of a
+    collinear run, and segment endpoints are exactly what sklearn keeps.
+    The leading inf point CAN be the argmax — when no finite threshold
+    achieves tpr > fpr (max J == 0), the reference's
+    ``thresholds[argmax(tpr - fpr)]`` selects +inf and rejects everything;
+    omitting it would instead pick the best finite score and silently
+    accept samples the reference rejects.
     """
     y_true = np.asarray(y_true).astype(bool)
     scores = np.asarray(scores, dtype=np.float64)
@@ -84,7 +91,11 @@ def roc_points(y_true: np.ndarray, scores: np.ndarray):
     fps = (1 + idx) - tps
     tpr = tps / max(int(y_true.sum()), 1)
     fpr = fps / max(int((~y_true).sum()), 1)
-    return fpr, tpr, s_sorted[idx]
+    return (
+        np.r_[0.0, fpr],
+        np.r_[0.0, tpr],
+        np.r_[np.inf, s_sorted[idx]],
+    )
 
 
 def best_youden_threshold(y_true: np.ndarray, scores: np.ndarray) -> float:

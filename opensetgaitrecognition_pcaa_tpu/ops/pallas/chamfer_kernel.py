@@ -177,6 +177,11 @@ def seq_chamfer_pallas(
     preds: jnp.ndarray, gts: jnp.ndarray, avg_out: bool = True
 ) -> jnp.ndarray:
     """Drop-in for ``ops.chamfer.seq_chamfer`` with the fused Pallas forward."""
+    # Small grids are FINE for this kernel: the sibling pointnet kernel's
+    # grids 1-3 Mosaic crash does NOT reproduce here — bench.py's fused
+    # parity case runs (4, 6, N, 4) = grid 3 on the real chip every round
+    # (BENCH_r02+ pallas_parity chamfer_fused_n150=true), and grid-1/2
+    # shapes are exercised by the same check since round 3. No grid guard.
     if max(preds.shape[2], gts.shape[2]) > _MAX_FUSED_POINTS:
         from opensetgaitrecognition_pcaa_tpu.ops.chamfer import seq_chamfer
 

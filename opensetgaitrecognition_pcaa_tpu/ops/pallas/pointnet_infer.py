@@ -76,9 +76,11 @@ def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
 
 # Largest single-step working set verified on a real v5e (2026-08-16 drive):
 # N=2048 at D=1024 (fps·N·D·4 = 64 MiB nominal — Mosaic tiles/spills
-# internally and matches XLA bit-for-bit through N=2048, so the effective
-# guard is a 2× margin above the largest TESTED size, not a 16 MiB model).
-_WORKSET_BUDGET_BYTES = 128 * 1024 * 1024
+# internally and matches XLA bit-for-bit through N=2048). The guard is
+# pinned AT that tested ceiling: beyond it the fused path is unproven, and
+# the folded-XLA fallback is the same math, so there is nothing to gain
+# from admitting untested sizes.
+_WORKSET_BUDGET_BYTES = 64 * 1024 * 1024
 _MIN_GRID_STEPS = 4  # grid < 4 crashes the Mosaic compile on this toolchain
 
 
@@ -88,9 +90,11 @@ def fits_vmem(n: int, c: int, d: int, fps: int = _FRAMES_PER_STEP) -> bool:
     Empirically calibrated on a real v5e (see drive log in git history /
     RESULTS_SYNTHETIC.md): the Mosaic compiler tiles the chain's wide
     intermediate internally, so N=150..2048 at D=1024 all compile AND match
-    the XLA reference exactly; the budget below only rejects sizes ≥2×
-    beyond the largest tested point. (An analytic 16 MiB VMEM model would
-    wrongly reject even the known-good reference dims.)
+    the XLA reference exactly; the budget equals that largest tested
+    working set. (An analytic 16 MiB VMEM model would wrongly reject even
+    the known-good reference dims.) ``c`` (input width) is accepted for
+    call-site symmetry but doesn't enter the estimate — the D-wide
+    intermediate dominates the working set at any plausible C.
     """
     return fps * n * d * 4 <= _WORKSET_BUDGET_BYTES
 

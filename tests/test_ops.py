@@ -205,6 +205,17 @@ class TestOpenSetMath:
         got = best_youden_threshold(labels, scores)
         assert got == pytest.approx(want)
 
+    def test_youden_threshold_inf_when_no_threshold_beats_chance(self):
+        # max J == 0: sklearn's leading (0, 0, inf) point wins the argmax
+        # and the reference rejects everything; the best FINITE score would
+        # instead accept every sample (anti-correlated scores).
+        labels = np.array([1.0, 0.0])
+        scores = np.array([0.1, 0.9])
+        fpr, tpr, thr = roc_curve(labels, scores)
+        want = thr[np.argmax(tpr - fpr)]
+        got = best_youden_threshold(labels, scores)
+        assert np.isinf(want) and np.isinf(got) and got > 0
+
     def test_hyperrectangle_prob_vs_scipy_mvn(self):
         rng = np.random.default_rng(2)
         d = 5
