@@ -15,6 +15,7 @@ observed 30+ min per inference pass before this was fixed).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -55,11 +56,22 @@ def batched_apply(
     stochastic passes can fold the chunk index into their PRNG key (fresh
     noise per chunk rather than the same noise rows repeating every
     ``batch_size`` samples).
+
+    The jitted runner is cached on ``(fn, with_index)``: callers that pass
+    a STABLE ``fn`` object (e.g. a per-model ``lru_cache``-d closure, see
+    ``infer/pcaa.py::_encode_fn``) reuse the XLA compile across repeated
+    same-shape calls — seed loops in the parity tools were paying a full
+    recompile per call otherwise. A fresh closure per call still works, it
+    just recompiles as before.
     """
     n = x.shape[0]
     xp = jnp.asarray(chunk_rows(np.asarray(x), batch_size))
-    steps = xp.shape[0]
+    outs = jax.device_get(_runner(fn, with_index)(xp, params))
+    return tuple(o.reshape((-1,) + o.shape[2:])[:n] for o in outs)
 
+
+@functools.lru_cache(maxsize=128)
+def _runner(fn, with_index: bool):
     @jax.jit
     def run(xs, params):
         def body(_, step_and_chunk):
@@ -68,8 +80,7 @@ def batched_apply(
                 return None, fn(chunk, params, step_idx)
             return None, fn(chunk, params)
 
-        _, outs = jax.lax.scan(body, None, (jnp.arange(steps), xs))
+        _, outs = jax.lax.scan(body, None, (jnp.arange(xs.shape[0]), xs))
         return outs
 
-    outs = jax.device_get(run(xp, params))
-    return tuple(o.reshape((-1,) + o.shape[2:])[:n] for o in outs)
+    return run

@@ -28,13 +28,6 @@ from opensetgaitrecognition_pcaa_tpu.ops.pallas.pointnet_infer import (
 )
 
 
-def _folded_tcn_layer(layer_params: Dict, eps: float = 1e-5):
-    """Fold a CausalDilatedConv1d's BN into its conv kernel/bias."""
-    conv = layer_params["Conv_0"]
-    bn = layer_params["TorchBatchNorm_0"]
-    return conv["kernel"], conv["bias"], bn
-
-
 def _backbone_eval(
     params: Dict,
     stats: Dict,
@@ -69,10 +62,10 @@ def _backbone_eval(
 
     # --- causal dilated TCN with folded BN ------------------------------
     tcb_p = bb_p["TemporalConvBlock_0"]
-    tcb_s = stats["GaitBackbone_0"]["TemporalConvBlock_0"]
+    tcb_s = bb_s["TemporalConvBlock_0"]
     for i, dilation in enumerate(dilations):
         layer = tcb_p[f"CausalDilatedConv1d_{i}"]
-        bn = layer[f"TorchBatchNorm_0"]
+        bn = layer["TorchBatchNorm_0"]
         st = tcb_s[f"CausalDilatedConv1d_{i}"]["TorchBatchNorm_0"]
         kernel = layer["Conv_0"]["kernel"]  # (k, in, out)
         k = kernel.shape[0]

@@ -26,6 +26,7 @@ identical; the encoder work drops by 2×.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -113,12 +114,23 @@ def _encode_split(encoder, enc_vars, dataset: RadarCropDataset, batch_size=256):
     (``infer/fast_encoder.py``); the flax apply is the CPU fallback — both
     are float-tolerance identical (tested).
     """
+    x, _ = dataset.load_all()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    fwd = _encode_fn(encoder, on_tpu)
+    fvs, preds = batched_apply(fwd, x, batch_size, params=enc_vars)
+    return fvs, preds.astype(np.int64)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_fn(encoder, on_tpu: bool):
+    """Stable per-(encoder, platform) forward closure, so repeated
+    ``batched_apply`` calls (seed loops in the parity tools) hit the cached
+    XLA compile (``infer/common.py::_runner``) instead of re-tracing.
+    Flax modules hash by their field values, so equal-config encoders from
+    separate ``pcaa_inference_setup`` calls share one entry."""
     from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
         fused_encoder_apply,
     )
-
-    x, _ = dataset.load_all()
-    on_tpu = jax.devices()[0].platform != "cpu"
 
     def fwd(chunk, variables):
         if on_tpu:
@@ -132,8 +144,7 @@ def _encode_split(encoder, enc_vars, dataset: RadarCropDataset, batch_size=256):
             logits, fv = encoder.apply(variables, chunk, train=False)
         return fv, logits.argmax(axis=1)
 
-    fvs, preds = batched_apply(fwd, x, batch_size, params=enc_vars)
-    return fvs, preds.astype(np.int64)
+    return fwd
 
 
 def _window_vote(

@@ -39,6 +39,40 @@ from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
 )
 
 
+# Per-run fields the lockstep design legitimately varies: identity/seeding
+# and filesystem paths. EVERYTHING else (LR, loss weights, supervision
+# frequency, EPOCHS, dtype/optimizer flags, shapes) is baked into the ONE
+# vmapped train step built from cfgs[0], so a grid that varies any of them
+# would silently train runs 1..R-1 under run 0's hyperparameters.
+_PER_RUN_FIELDS = frozenset({
+    "MODEL_NAME",
+    "NOTES",
+    "SEED",
+    "TRAIN_CLASSES",
+    "DATA_PATH",
+    "GEN_DATA_PATH",
+    "MODELS_PATH",
+    "FIGURES_PATH",
+})
+
+
+def _assert_lockstep_compatible(cfgs: Sequence[Config]) -> None:
+    """Fail fast unless all step-relevant config fields agree across runs."""
+    import dataclasses
+
+    base = dataclasses.asdict(cfgs[0])
+    for i, c in enumerate(cfgs[1:], start=1):
+        d = dataclasses.asdict(c)
+        for f, v in base.items():
+            if f not in _PER_RUN_FIELDS and d[f] != v:
+                raise AssertionError(
+                    f"grid cfgs[{i}].{f}={d[f]!r} != cfgs[0].{f}={v!r}: the "
+                    "lockstep trainer bakes one train step from cfgs[0], so "
+                    "only per-run identity fields "
+                    f"({', '.join(sorted(_PER_RUN_FIELDS))}) may differ"
+                )
+
+
 def _stack_states(states):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -83,8 +117,9 @@ class GridPCAATrainer:
             metrics = trainer.run_epoch(epoch)   # dict of (R,) arrays
         states = trainer.per_run_states()        # for checkpointing
 
-    ``cfgs`` may differ in TRAIN_CLASSES/SEED/MODEL_NAME but must agree on
-    every shape-bearing field (asserted).
+    ``cfgs`` may differ only in per-run identity fields (TRAIN_CLASSES,
+    SEED, MODEL_NAME, paths — see ``_PER_RUN_FIELDS``); every step-relevant
+    field (shapes, LR, loss weights, flags) must agree (asserted).
     """
 
     def __init__(
@@ -96,17 +131,7 @@ class GridPCAATrainer:
         mesh=None,
     ):
         assert len(cfgs) == len(train_sets) >= 1
-        shape_fields = (
-            "NMAX",
-            "NSTEPS",
-            "NFEATURES",
-            "POINTNET_OUT_DIM",
-            "DTC_FILTERS",
-            "SUP_LATENT_DIM",
-            "BATCH_SIZE",
-        )
-        for f in shape_fields:
-            assert len({getattr(c, f) for c in cfgs}) == 1, f"mismatched {f}"
+        _assert_lockstep_compatible(cfgs)
         assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
         assert not any(c.DEFERRED_DECODER_UPDATE for c in cfgs), (
             "DEFERRED_DECODER_UPDATE is a solo-trainer schedule: the grid "
@@ -131,6 +156,12 @@ class GridPCAATrainer:
         self.y = jnp.asarray(self.y)
         if valid_sets is not None:
             self.xv, self.yv, self.nv_real = pad_datasets(valid_sets)
+            # a valid split smaller than one batch would give vsteps=0 →
+            # NaN accuracy → best-payload silently frozen at init weights
+            assert int(self.nv_real.min()) >= self.cfg.BATCH_SIZE, (
+                f"valid split sizes {self.nv_real.tolist()} must be >= "
+                f"BATCH_SIZE={self.cfg.BATCH_SIZE} (drop_last batching)"
+            )
             self.xv = jnp.asarray(self.xv)
             self.yv = jnp.asarray(self.yv)
         else:
@@ -238,10 +269,17 @@ class GridPCAATrainer:
         )
         metrics = jax.device_get(metrics)  # each (max_steps, R)
         out: Dict[str, np.ndarray] = {}
+        # CE/total means run over SUPERVISED lockstep steps only, matching
+        # the solo trainer and the reference's sup_losses/tot_sup_losses
+        # lists (PCAA_ablation.py:1005-1013; same mask for every run —
+        # SUPERVISION_FREQUENCY equality is asserted at construction).
+        sup_every = self.cfg.SUPERVISION_FREQUENCY
         for k, v in metrics.items():
             if k == "n_correct":
                 tot = np.nansum(v, axis=0)
                 out["train_accuracy"] = tot / (self._steps_per_run * B)
+            elif k in ("sup_loss", "tot_loss"):
+                out[k] = np.nanmean(v[::sup_every], axis=0)
             else:
                 out[k] = np.nanmean(v, axis=0)
         return out
@@ -330,20 +368,11 @@ class GridORCEDTrainer:
         mesh=None,
     ):
         assert len(cfgs) == len(train_sets) >= 1
-        # Same construction-time shape contract as GridPCAATrainer: a
-        # mismatched NMAX/BATCH_SIZE pair would otherwise fail deep inside
-        # the vmapped step with an opaque broadcast error.
-        shape_fields = (
-            "NMAX",
-            "NSTEPS",
-            "NFEATURES",
-            "POINTNET_OUT_DIM",
-            "DTC_FILTERS",
-            "SUP_LATENT_DIM",
-            "BATCH_SIZE",
-        )
-        for f in shape_fields:
-            assert len({getattr(c, f) for c in cfgs}) == 1, f"mismatched {f}"
+        # Same construction-time contract as GridPCAATrainer: a mismatched
+        # NMAX/BATCH_SIZE pair would otherwise fail deep inside the vmapped
+        # step with an opaque broadcast error, and a mismatched
+        # LR/EPOCHS/loss weight would silently train under cfgs[0]'s values.
+        _assert_lockstep_compatible(cfgs)
         assert len({c.n_classes for c in cfgs}) == 1, "mismatched n_classes"
         self.cfgs = list(cfgs)
         self.cfg = cfgs[0]
@@ -361,6 +390,12 @@ class GridORCEDTrainer:
         self.y = jnp.asarray(self.y)
         if valid_sets is not None:
             self.xv, self.yv, self.nv_real = pad_datasets(valid_sets)
+            # a valid split smaller than one batch would give vsteps=0 →
+            # NaN accuracy → best-payload silently frozen at init weights
+            assert int(self.nv_real.min()) >= self.cfg.BATCH_SIZE, (
+                f"valid split sizes {self.nv_real.tolist()} must be >= "
+                f"BATCH_SIZE={self.cfg.BATCH_SIZE} (drop_last batching)"
+            )
             self.xv = jnp.asarray(self.xv)
             self.yv = jnp.asarray(self.yv)
         else:

@@ -287,11 +287,16 @@ class TestGridTrainer:
         x_t, y_t, _, _ = arrays
         cfg0 = tiny_config(gen, tmp_path, "OGM0", SEED=0)
         cfg1 = tiny_config(gen, tmp_path, "OGM1", SEED=1, NMAX=32)
-        with pytest.raises(AssertionError, match="mismatched NMAX"):
+        with pytest.raises(AssertionError, match=r"NMAX.*only per-run"):
             GridORCEDTrainer([cfg0, cfg1], train_sets=[(x_t, y_t)] * 2)
         cfg2 = tiny_config(gen, tmp_path, "OGM2", SEED=1, BATCH_SIZE=16)
-        with pytest.raises(AssertionError, match="mismatched BATCH_SIZE"):
+        with pytest.raises(AssertionError, match=r"BATCH_SIZE.*only per-run"):
             GridORCEDTrainer([cfg0, cfg2], train_sets=[(x_t, y_t)] * 2)
+        # hyperparameters are step-baked too: varying them must fail fast
+        # instead of silently training runs 1..R-1 under cfgs[0]'s values
+        cfg3 = tiny_config(gen, tmp_path, "OGM3", SEED=1, LR=3e-4)
+        with pytest.raises(AssertionError, match=r"LR.*only per-run"):
+            GridORCEDTrainer([cfg0, cfg3], train_sets=[(x_t, y_t)] * 2)
 
     def test_orced_grid_runs(self, generated_splits, tmp_path, arrays):
         gen, _ = generated_splits
