@@ -31,11 +31,7 @@ def run_grid_mode(args, base_cfg):
 
     from opensetgaitrecognition_pcaa_tpu.config import SPLIT
     from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
-    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridORCEDTrainer
     from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
-    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
-    from opensetgaitrecognition_pcaa_tpu.train.orced import write_orced_checkpoint
-    from opensetgaitrecognition_pcaa_tpu.train.run_folder import mark_run_completed
 
     n_dev = len(jax.devices())
     mesh = create_mesh(n_dev) if n_dev > 1 else None
@@ -43,24 +39,10 @@ def run_grid_mode(args, base_cfg):
     rng = np.random.default_rng(0)
     for n_tr in args.n_training_classes:
         subsets = unique_class_subsets(n_tr, args.n_tests, rng)
-
-        gen_dirs, data = [], []
-        for i, classes in enumerate(subsets):
-            gen_i = f"{args.gen_data_path}_orcedgrid{n_tr}_{i}"
-            generate_splits(
-                data_path=args.data_path,
-                gen_data_path=gen_i,
-                train_classes=classes,
-                seed=0,
-                nmax_points=base_cfg.NMAX,
-                nsteps=base_cfg.NSTEPS,
-                crop_step=base_cfg.CROP_STEP,
-                verbose=False,
-            )
-            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_i).load_all()
-            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_i).load_all()
-            gen_dirs.append(gen_i)
-            data.append(((x_t, y_t), (x_v, y_v)))
+        gen_dirs = [
+            f"{args.gen_data_path}_orcedgrid{n_tr}_{i}"
+            for i in range(args.n_tests)
+        ]
 
         all_cfgs = [
             base_cfg.replace(
@@ -73,7 +55,10 @@ def run_grid_mode(args, base_cfg):
             )
             for i in range(args.n_tests)
         ]
-        # resumability: completed runs drop out of the lockstep chunks
+        # resumability FIRST: completed runs drop out of the lockstep
+        # chunks before any split regeneration / crop loading happens —
+        # resuming a finished sweep costs seconds, not minutes of
+        # preprocessing per openness level
         todo = [
             i
             for i in range(args.n_tests)
@@ -82,6 +67,22 @@ def run_grid_mode(args, base_cfg):
         if len(todo) < args.n_tests:
             done = sorted(set(range(args.n_tests)) - set(todo))
             print(f"    skipping completed splits {[i + 1 for i in done]}")
+
+        data = {}
+        for i in todo:
+            generate_splits(
+                data_path=args.data_path,
+                gen_data_path=gen_dirs[i],
+                train_classes=subsets[i],
+                seed=0,
+                nmax_points=base_cfg.NMAX,
+                nsteps=base_cfg.NSTEPS,
+                crop_step=base_cfg.CROP_STEP,
+                verbose=False,
+            )
+            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_dirs[i]).load_all()
+            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_dirs[i]).load_all()
+            data[i] = ((x_t, y_t), (x_v, y_v))
         # chunk to device-memory capacity (runs beyond it would OOM HBM)
         cap = args.grid_runs_per_device * max(n_dev, 1)
         chunks = [todo[c : c + cap] for c in range(0, len(todo), cap)]

@@ -43,24 +43,11 @@ def unique_class_subsets(n_tr: int, n_tests: int, rng: np.random.Generator):
 def run_grid_mode(args):
     """Lockstep multi-split training: one GridPCAATrainer per
     (openness, variant) cell, splits sharded across devices."""
-    import json
-
     import jax
 
     from opensetgaitrecognition_pcaa_tpu.config import SPLIT
     from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
-    from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridPCAATrainer
     from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
-    from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
-        VARIANTS,
-        _checkpoint,
-        build_pcaa,
-    )
-    from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
-        mark_run_completed,
-        save_array,
-    )
-    from opensetgaitrecognition_pcaa_tpu.train.metrics import MetricLogger
 
     base_cfg = default_config(
         DATA_PATH=args.data_path,
@@ -80,28 +67,16 @@ def run_grid_mode(args):
     rng = np.random.default_rng(0)
     for n_tr in args.n_training_classes:
         subsets = unique_class_subsets(n_tr, args.n_tests, rng)
+        gen_dirs = [
+            f"{args.gen_data_path}_grid{n_tr}_{i}" for i in range(args.n_tests)
+        ]
 
-        # materialize each split's crops once per openness level
-        gen_dirs, data = [], []
-        for i, classes in enumerate(subsets):
-            gen_i = f"{args.gen_data_path}_grid{n_tr}_{i}"
-            generate_splits(
-                data_path=args.data_path,
-                gen_data_path=gen_i,
-                train_classes=classes,
-                seed=0,
-                nmax_points=base_cfg.NMAX,
-                nsteps=base_cfg.NSTEPS,
-                crop_step=base_cfg.CROP_STEP,
-                verbose=False,
-            )
-            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_i).load_all()
-            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_i).load_all()
-            gen_dirs.append(gen_i)
-            data.append(((x_t, y_t), (x_v, y_v)))
-
+        # resumability first: decide which splits any variant still needs
+        # BEFORE regenerating splits / loading crops — a finished sweep
+        # resumed on this 1-core box would otherwise pay minutes of
+        # preprocessing per openness level just to skip everything
+        cfgs_by_variant, todo_by_variant = {}, {}
         for v in args.variants:
-            variation = VARIATION(v)
             all_cfgs = [
                 base_cfg.replace(
                     MODEL_NAME=f"{args.model_name_base}{v}.{n_tr}.{i + 1}",
@@ -113,14 +88,37 @@ def run_grid_mode(args):
                 )
                 for i in range(args.n_tests)
             ]
-            # resumability: completed runs (run_complete.json) drop out of
-            # the lockstep chunks, mirroring the sequential path's skip
-            todo = [
+            cfgs_by_variant[v] = all_cfgs
+            # completed runs (run_complete.json) drop out of the lockstep
+            # chunks, mirroring the sequential path's skip
+            todo_by_variant[v] = [
                 i
                 for i in range(args.n_tests)
                 if args.no_skip_completed
                 or not run_completed(all_cfgs[i].run_dir())
             ]
+
+        needed = sorted(set().union(*todo_by_variant.values()))
+        data = {}
+        for i in needed:
+            generate_splits(
+                data_path=args.data_path,
+                gen_data_path=gen_dirs[i],
+                train_classes=subsets[i],
+                seed=0,
+                nmax_points=base_cfg.NMAX,
+                nsteps=base_cfg.NSTEPS,
+                crop_step=base_cfg.CROP_STEP,
+                verbose=False,
+            )
+            x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_dirs[i]).load_all()
+            x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_dirs[i]).load_all()
+            data[i] = ((x_t, y_t), (x_v, y_v))
+
+        for v in args.variants:
+            variation = VARIATION(v)
+            all_cfgs = cfgs_by_variant[v]
+            todo = todo_by_variant[v]
             if len(todo) < args.n_tests:
                 done = sorted(set(range(args.n_tests)) - set(todo))
                 print(f"    skipping completed splits {[i + 1 for i in done]}")

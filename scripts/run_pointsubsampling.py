@@ -24,6 +24,7 @@ from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
 from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
 from opensetgaitrecognition_pcaa_tpu.ops import openness
 from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import run_completed
 from scripts.run_pcaa_ablation import unique_class_subsets
 
 
@@ -41,6 +42,7 @@ def main():
     p.add_argument("--n-tests", type=int, default=5)
     p.add_argument("--ks", type=int, nargs="+", default=[1, 2, 4, 6])
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--no-skip-completed", action="store_true")
     args = p.parse_args()
 
     base_cfg = default_config(
@@ -72,6 +74,23 @@ def main():
                     NOTES=f"Runs with different number of points "
                     f"({n_points}.{n_tr}.{i + 1})",
                 )
+                # resumability like the sibling grid drivers: a 120-run
+                # sweep interrupted mid-way skips finished (run, NMAX)
+                # cells — including their split regeneration — on restart.
+                # Training done but inference artifacts missing (killed
+                # between the two) → regenerate splits and redo inference.
+                trained = not args.no_skip_completed and run_completed(
+                    cfg.run_dir()
+                )
+                inferred = trained and all(
+                    os.path.exists(
+                        os.path.join(cfg.run_dir(), f"naive_seq_log_{k}.json")
+                    )
+                    for k in args.ks
+                )
+                if inferred:
+                    print(f"=== skipping completed {cfg.MODEL_NAME} ===")
+                    continue
                 generate_splits(
                     data_path=cfg.DATA_PATH,
                     gen_data_path=cfg.GEN_DATA_PATH,
@@ -81,8 +100,11 @@ def main():
                     nsteps=cfg.NSTEPS,
                     crop_step=cfg.CROP_STEP,
                 )
-                print(f"=== training {cfg.MODEL_NAME} ===")
-                train_pcaa(cfg, VARIATION.V4, wandb_mode="disabled")
+                if not trained:
+                    print(f"=== training {cfg.MODEL_NAME} ===")
+                    train_pcaa(cfg, VARIATION.V4, wandb_mode="disabled")
+                else:
+                    print(f"=== re-running inference for {cfg.MODEL_NAME} ===")
                 pcaa_inference(
                     [cfg.MODEL_NAME],
                     ks=args.ks,

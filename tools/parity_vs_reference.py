@@ -480,10 +480,6 @@ def aggregate(args, results):
         ref_seed_spread_f1_micro=ref_spread,
         rows=rows,
     )
-    out_json = os.path.join(REPO, "PARITY_MEASURED.json")
-    with open(out_json, "w") as f:
-        json.dump(summary, f, indent=2)
-
     md = [
         "# PARITY_MEASURED — framework vs the actual PyTorch reference\n",
         f"End-to-end open-set F1, both sides trained on IDENTICAL generated",
@@ -532,6 +528,12 @@ def aggregate(args, results):
                     f"{d.mean():+.4f} ± {se:.4f} |"
                 )
     summary["group_stats"] = group_stats
+    # write the JSON only after group_stats lands in summary — an earlier
+    # version dumped it first and the per-group paired-Δ stats never
+    # reached the artifact
+    out_json = os.path.join(REPO, "PARITY_MEASURED.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
 
     md += [
         "",
@@ -617,7 +619,20 @@ def main():
                 check=True,
             )
         with open(res_path) as f:
-            results.append(json.load(f))
+            r = json.load(f)
+        # a cached result from an earlier invocation with different
+        # --epochs/--ks would crash the aggregate (missing k keys) or,
+        # worse, silently mislabel the measurement
+        if r.get("epochs") != args.epochs or not set(
+            str(k) for k in args.ks
+        ) <= set(r["ref"].keys()):
+            raise SystemExit(
+                f"{res_path} was produced with epochs={r.get('epochs')} / "
+                f"ks={sorted(r['ref'].keys())}, not the requested "
+                f"epochs={args.epochs} / ks={args.ks} — use a fresh "
+                "--workdir (or delete the stale seed dirs)"
+            )
+        results.append(r)
         # Aggregate incrementally: a multi-hour sweep interrupted at seed k
         # still leaves a complete PARITY_MEASURED for the seeds finished.
         aggregate(args, results)
