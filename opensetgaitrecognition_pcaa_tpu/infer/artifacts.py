@@ -2,10 +2,18 @@
 
 Filename patterns follow the reference exactly (``inference_PCAA.py:319-347,
 440-455``; ``inference_ORCED.py:446-454``) so downstream consumers of a run
-folder see the same contract. One deviation: the confusion-matrix plot does
-not enable LaTeX text rendering (``text.usetex``) — the reference requires a
-TeX install (``inference_PCAA.py:351-357``); we keep the same layout,
-colormap, clim and tick labels with stock matplotlib.
+folder see the same contract. Two deviations in the confusion-matrix plot:
+
+- no LaTeX text rendering (``text.usetex``) — the reference requires a TeX
+  install (``inference_PCAA.py:351-357``); same layout, colormap, clim and
+  tick labels with stock matplotlib;
+- ``labels=range(n_labels + 1)`` is passed to ``confusion_matrix`` (the
+  reference omits it, ``:363``): the fixed T0..T{n-1}+U tick labels assume
+  an (n+1)² matrix, and without ``labels=`` a class absent from a
+  scenario-restricted eval set shrinks the matrix and misaligns the ticks
+  (the reference crashes/mislabels in that case — no behavior to match).
+  Absent classes produce a zero-sum row under ``normalize='true'``; those
+  NaN rows render as 0 so the PNG stays readable.
 """
 
 from __future__ import annotations
@@ -51,12 +59,19 @@ def plot_openset_confusion_matrix(
     import matplotlib.pyplot as plt
     from sklearn.metrics import ConfusionMatrixDisplay, confusion_matrix
 
-    cm = confusion_matrix(
-        np.asarray(final_labels).astype(int),
-        np.asarray(final_preds).astype(int),
-        normalize="true",
-        labels=list(range(n_labels + 1)),
-    )
+    import warnings
+
+    with warnings.catch_warnings():
+        # a class absent from the eval set gives a zero-sum row →
+        # RuntimeWarning + NaN row; see module docstring
+        warnings.simplefilter("ignore", RuntimeWarning)
+        cm = confusion_matrix(
+            np.asarray(final_labels).astype(int),
+            np.asarray(final_preds).astype(int),
+            normalize="true",
+            labels=list(range(n_labels + 1)),
+        )
+    cm = np.nan_to_num(cm)
     disp = ConfusionMatrixDisplay(
         confusion_matrix=cm, display_labels=range(n_labels + 1)
     )

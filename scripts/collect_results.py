@@ -13,10 +13,7 @@ import argparse
 import json
 import os
 import re
-import sys
 from collections import defaultdict
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RUN_RE = re.compile(r"(?P<base>.+?)(?P<variant>V\d)?\.(?P<n_tr>\d+)\.(?P<split>\d+)$")
 LOG_RE = re.compile(r"naive_seq_log_(?P<k>\d+)\.json$")
@@ -72,11 +69,21 @@ def to_markdown(rows) -> str:
             f"| {r.get('f1_weighted', float('nan')):.4f} |"
         )
 
-    # per (variant, n_train, k) means across splits — the paper's table cells
+    # per (variant, n_train, k) means across splits — the paper's table
+    # cells. Runs whose names don't parse (n_train '?') are listed above
+    # but EXCLUDED here: lumping them into one ('?', '?') group would
+    # silently average unrelated runs together.
     groups = defaultdict(list)
+    skipped = sorted({r["run"] for r in rows if r["n_train"] == "?"})
     for r in rows:
-        groups[(r["variant"], r["n_train"], r["k"])].append(r)
+        if r["n_train"] != "?":
+            groups[(r["variant"], r["n_train"], r["k"])].append(r)
     lines.append("\n### Means across splits\n")
+    if skipped:
+        lines.append(
+            f"(excluded from means — unparseable run names: "
+            f"{', '.join(skipped)})\n"
+        )
     lines.append("| variant | n_train | k | accuracy | f1_micro | f1_macro | f1_weighted |")
     lines.append("|" + "---|" * 7)
     for (v, n, k), rs in sorted(groups.items(), key=lambda it: tuple(map(str, it[0]))):

@@ -23,9 +23,14 @@ def main():
     p.add_argument("--figures-path", default="figures")
     p.add_argument("--model-names", nargs="+", required=True)
     p.add_argument("--ks", type=int, nargs="+", default=[6, 4, 2, 1])
+    p.add_argument(
+        "--no-generate-dataset",
+        action="store_true",
+        help="reuse existing generated splits (skip regeneration entirely)",
+    )
     args = p.parse_args()
 
-    for scenario in SCENARIO:
+    for i, scenario in enumerate(SCENARIO):
         print(f"=== scenario {scenario.value} ===")
         pcaa_inference(
             args.model_names,
@@ -34,6 +39,10 @@ def main():
             figures_path=args.figures_path,
             data_path=args.data_path,
             scenarios_list=[scenario],
+            # splits don't depend on the scenario (filtering happens at
+            # load time) — generate once on the first pass, not 3× per
+            # model on this 1-core box
+            generate_dataset=not args.no_generate_dataset and i == 0,
         )
 
 
