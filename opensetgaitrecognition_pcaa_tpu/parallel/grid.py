@@ -73,6 +73,29 @@ def _assert_lockstep_compatible(cfgs: Sequence[Config]) -> None:
                 )
 
 
+def mesh_chunks(todo, cap: int, n_dev: int):
+    """Split a run list into lockstep chunks compatible with a 'data'-axis
+    mesh of ``n_dev`` devices: sharding requires the run-axis length to be
+    divisible by the axis size, so each cap-sized chunk yields a sharded
+    multiple-of-``n_dev`` part plus (if ragged) an UNSHARDED tail chunk.
+
+    → list of ``(chunk, use_mesh)`` pairs. With ``n_dev <= 1`` everything
+    is a single-device chunk (use_mesh False).
+    """
+    out = []
+    for c in range(0, len(todo), cap):
+        chunk = list(todo[c : c + cap])
+        if n_dev <= 1:
+            out.append((chunk, False))
+            continue
+        m = (len(chunk) // n_dev) * n_dev
+        if m:
+            out.append((chunk[:m], True))
+        if len(chunk) > m:
+            out.append((chunk[m:], False))
+    return out
+
+
 def _stack_states(states):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -174,6 +197,13 @@ class GridPCAATrainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_data = int(mesh.shape["data"])
+            assert self.R % n_data == 0, (
+                f"{self.R} lockstep runs cannot shard over a {n_data}-device "
+                "'data' axis (run count must be divisible by the axis size) "
+                "— chunk with parallel.grid.mesh_chunks, which routes ragged "
+                "tails to an unsharded trainer"
+            )
             run_sh = NamedSharding(mesh, P("data"))
             self.states = jax.tree_util.tree_map(
                 lambda l: jax.device_put(l, run_sh), self.states
@@ -407,6 +437,13 @@ class GridORCEDTrainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_data = int(mesh.shape["data"])
+            assert self.R % n_data == 0, (
+                f"{self.R} lockstep runs cannot shard over a {n_data}-device "
+                "'data' axis (run count must be divisible by the axis size) "
+                "— chunk with parallel.grid.mesh_chunks, which routes ragged "
+                "tails to an unsharded trainer"
+            )
             run_sh = NamedSharding(mesh, P("data"))
             self.states = jax.tree_util.tree_map(
                 lambda l: jax.device_put(l, run_sh), self.states

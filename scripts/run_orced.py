@@ -31,6 +31,7 @@ def run_grid_mode(args, base_cfg):
 
     from opensetgaitrecognition_pcaa_tpu.config import SPLIT
     from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import mesh_chunks
     from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
 
     n_dev = len(jax.devices())
@@ -83,20 +84,23 @@ def run_grid_mode(args, base_cfg):
             x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen_dirs[i]).load_all()
             x_v, y_v = RadarCropDataset(SPLIT.VALID, gen_dirs[i]).load_all()
             data[i] = ((x_t, y_t), (x_v, y_v))
-        # chunk to device-memory capacity (runs beyond it would OOM HBM)
+        # chunk to device-memory capacity (runs beyond it would OOM HBM);
+        # ragged tails whose run count the mesh's data axis doesn't divide
+        # train unsharded (parallel.grid.mesh_chunks)
         cap = args.grid_runs_per_device * max(n_dev, 1)
-        chunks = [todo[c : c + cap] for c in range(0, len(todo), cap)]
-        for chunk in chunks:
+        for chunk, use_mesh in mesh_chunks(todo, cap, n_dev):
             cfgs = [all_cfgs[i] for i in chunk]
             chunk_data = [data[i] for i in chunk]
             print(
                 f"=== grid-training ORCED n_tr={n_tr} "
-                f"(splits {[i + 1 for i in chunk]} lockstep) ==="
+                f"(splits {[i + 1 for i in chunk]} lockstep"
+                f"{'' if use_mesh else ', unsharded'}) ==="
             )
             # one function call per chunk: the trainer's device state
             # (params + f32 Adam moments, ~3.5 GB/run) must be GC'd before
             # the next chunk's trainer allocates, or chunk 2 OOMs HBM
-            _run_orced_chunk(base_cfg, cfgs, chunk_data, mesh)
+            _run_orced_chunk(base_cfg, cfgs, chunk_data,
+                             mesh if use_mesh else None)
 
 
 def _run_orced_chunk(base_cfg, cfgs, chunk_data, mesh):

@@ -47,6 +47,7 @@ def run_grid_mode(args):
 
     from opensetgaitrecognition_pcaa_tpu.config import SPLIT
     from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.parallel.grid import mesh_chunks
     from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
 
     base_cfg = default_config(
@@ -122,19 +123,23 @@ def run_grid_mode(args):
             if len(todo) < args.n_tests:
                 done = sorted(set(range(args.n_tests)) - set(todo))
                 print(f"    skipping completed splits {[i + 1 for i in done]}")
-            # chunk to device-memory capacity (runs beyond it would OOM HBM)
+            # chunk to device-memory capacity (runs beyond it would OOM
+            # HBM); ragged tails whose run count the mesh's data axis
+            # doesn't divide train unsharded (sharding requires
+            # divisibility — parallel.grid.mesh_chunks)
             cap = args.grid_runs_per_device * max(n_dev, 1)
-            chunks = [
-                todo[c : c + cap] for c in range(0, len(todo), cap)
-            ]
-            for chunk in chunks:
+            for chunk, use_mesh in mesh_chunks(todo, cap, n_dev):
                 cfgs = [all_cfgs[i] for i in chunk]
                 chunk_data = [data[i] for i in chunk]
                 print(
                     f"=== grid-training {v} n_tr={n_tr} "
-                    f"(splits {[i + 1 for i in chunk]} lockstep) ==="
+                    f"(splits {[i + 1 for i in chunk]} lockstep"
+                    f"{'' if use_mesh else ', unsharded'}) ==="
                 )
-                run_grid_chunk(args, cfgs, variation, chunk_data, mesh, base_cfg)
+                run_grid_chunk(
+                    args, cfgs, variation, chunk_data,
+                    mesh if use_mesh else None, base_cfg,
+                )
 
 
 def run_grid_chunk(args, cfgs, variation, data, mesh, base_cfg):
