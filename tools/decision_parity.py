@@ -154,10 +154,11 @@ def main():
     p.add_argument("--no-orced", action="store_true")
     p.add_argument(
         "--orced-self-noise",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=True,
         help="run the reference ORCED inference twice to measure its own "
-        "reparam-sampling decision noise floor",
+        "reparam-sampling decision noise floor (--no-orced-self-noise "
+        "skips the second ~20-min scipy pass)",
     )
     args = p.parse_args()
 
@@ -638,7 +639,11 @@ def main():
             "  documented leave-out/batch-composition deviation)",
             f"- reference SELF-agreement across two runs (identical weights"
             f" and crops, fresh eval-time reparam noise): "
-            f"**{o['reference_self_agreement']:.4f}** — the sampling noise",
+            + (
+                f"**{o['reference_self_agreement']:.4f}** — the sampling noise"
+                if o["reference_self_agreement"] is not None
+                else "**not measured** (--no-orced-self-noise) — the sampling noise"
+            ),
             "  floor of the reference's own pipeline"
             " (`models.py:494-496` draws eval noise).",
             "",

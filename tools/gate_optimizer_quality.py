@@ -136,6 +136,16 @@ def main():
         for name in args.configs:
             out.setdefault(name, {})["wps"] = round(measure_wps(table[name]), 1)
             print(f"{name}: {out[name]['wps']} w/s", flush=True)
+    elif not args.skip_wps:
+        # measure_wps hardcodes the PCAA trainer; ORCED tiers were timed
+        # with tools' standalone sweep instead (PERF_ROOFLINE.md table) —
+        # say so rather than silently dropping half the ship criterion
+        print(
+            "note: throughput measurement is PCAA-only (measure_wps builds "
+            "the PCAA trainer); ORCED tier throughputs are recorded in "
+            "PERF_ROOFLINE.md. This gate run covers QUALITY only.",
+            flush=True,
+        )
 
     accs = {name: [] for name in args.configs}
     for seed in range(args.seeds):
