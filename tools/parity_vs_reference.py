@@ -554,7 +554,10 @@ def aggregate(args, results):
         "THIS NOISE FLOOR — they do not by themselves establish the ±0.5%",
         "BASELINE.json target. The fine-grained claims are carried by (a)",
         "DECISION_PARITY.md — the composed inference pipelines agree",
-        "decision-for-decision on shared weights — and (b) the module-level",
+        "decision-for-decision on shared weights; (b) PARITY_CRN.md — twin",
+        "trainings on ONE shared random realization (init/batch-order/noise",
+        "recorded from the reference and replayed), which removes this",
+        "noise floor by construction; and (c) the module-level",
         "weight-transplant tests (tests/test_parity.py) and decision-math",
         "transcription tests (tests/test_decision_parity.py) at f32/f64",
         "tolerance on identical inputs.",
