@@ -104,15 +104,30 @@ class RadarCropDataset:
         # list({9, 1}) == [9, 1]); 5+ element sets resize to 32 slots where
         # ids 0-9 never collide. The reference inserts labels in
         # first-encounter order over its raw ``os.listdir`` (its filenames
-        # are never sorted, ``datasets.py:415,433-436``), so the remap here
-        # replays first encounters over the SAME raw listing restricted to
-        # the kept files — exact on any filesystem the two sides share.
-        # Affects ablation configs with 2- or 4-subject label sets
-        # containing 0&8 or 1&9.
+        # are never sorted, ``datasets.py:415,433-436``) — but the two modes
+        # encounter subjects differently:
+        #
+        # - non-sequential: labels come from the scenario-FILTERED listing
+        #   (``datasets.py:413-436``), so first encounter is over the raw
+        #   order restricted to kept files;
+        # - sequential: subject BLOCKS are built from ``track_dict`` over the
+        #   UNFILTERED listing and only then scenario-filtered
+        #   (``datasets.py:394-417``), so a subject whose earliest raw crop
+        #   is filtered out still keeps its early block position (as long as
+        #   any of its crops survives) — first encounter is over the raw
+        #   order restricted only to subjects with ≥ 1 kept file.
+        #
+        # Replaying the right variant is exact on any filesystem the two
+        # sides share. Affects ablation configs with 2- or 4-subject label
+        # sets containing 0&8 or 1&9 (scenario-restricted sequential evals
+        # would otherwise flip the colliding pair's order).
         kept = {f for f, _ in parsed}
-        classes = list({
-            p[1] for f, p in raw if f in kept
-        })
+        kept_subjects = {p[1] for f, p in raw if f in kept}
+        if sequential:
+            encounter = (p[1] for _, p in raw)
+        else:
+            encounter = (p[1] for f, p in raw if f in kept)
+        classes = list({s for s in encounter if s in kept_subjects})
         self.class_map = {c: i for i, c in enumerate(classes)}
         self.labels = np.array(
             [self.class_map[c] for c in self.original_labels], dtype=np.int32

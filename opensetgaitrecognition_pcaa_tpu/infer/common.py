@@ -15,7 +15,6 @@ observed 30+ min per inference pass before this was fixed).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -57,12 +56,15 @@ def batched_apply(
     noise per chunk rather than the same noise rows repeating every
     ``batch_size`` samples).
 
-    The jitted runner is cached on ``(fn, with_index)``: callers that pass
-    a STABLE ``fn`` object (e.g. a per-model ``lru_cache``-d closure, see
-    ``infer/pcaa.py::_encode_fn``) reuse the XLA compile across repeated
-    same-shape calls — seed loops in the parity tools were paying a full
-    recompile per call otherwise. A fresh closure per call still works, it
-    just recompiles as before.
+    The jitted runner is cached ON the ``fn`` object: callers that pass a
+    STABLE ``fn`` object (e.g. a per-model ``lru_cache``-d closure, see
+    ``infer/pcaa.py::_encode_fn`` — the lru_cache's strong ref keeps the
+    entry alive) reuse the XLA compile across repeated same-shape calls —
+    seed loops in the parity tools were paying a full recompile per call
+    otherwise. A fresh closure per call still works and recompiles as
+    before; once the caller drops it, the runner (and its compiled
+    executables, decoder-scale for PCAA) is collectable rather than pinned
+    in a process-lifetime cache.
     """
     n = x.shape[0]
     xp = jnp.asarray(chunk_rows(np.asarray(x), batch_size))
@@ -70,8 +72,18 @@ def batched_apply(
     return tuple(o.reshape((-1,) + o.shape[2:])[:n] for o in outs)
 
 
-@functools.lru_cache(maxsize=128)
 def _runner(fn, with_index: bool):
+    # The cache lives ON the fn object (not in a module-level dict): the
+    # jitted runner's closure references fn, so any external cache —
+    # even a WeakKeyDictionary, whose values strongly reference keys —
+    # would pin dropped closures (and their decoder-scale executables)
+    # for the life of the process. As an attribute, the runner dies
+    # exactly when its fn does.
+    by_flag = getattr(fn, "_osgr_runners", None)
+    run = None if by_flag is None else by_flag.get(with_index)
+    if run is not None:
+        return run
+
     @jax.jit
     def run(xs, params):
         def body(_, step_and_chunk):
@@ -83,4 +95,10 @@ def _runner(fn, with_index: bool):
         _, outs = jax.lax.scan(body, None, (jnp.arange(xs.shape[0]), xs))
         return outs
 
+    try:
+        if by_flag is None:
+            by_flag = fn._osgr_runners = {}
+        by_flag[with_index] = run
+    except (AttributeError, TypeError):
+        pass  # fn doesn't take attributes (e.g. a builtin): uncached
     return run

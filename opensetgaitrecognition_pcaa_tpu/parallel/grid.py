@@ -77,12 +77,20 @@ def mesh_chunks(todo, cap: int, n_dev: int):
     """Split a run list into lockstep chunks compatible with a 'data'-axis
     mesh of ``n_dev`` devices: sharding requires the run-axis length to be
     divisible by the axis size, so each cap-sized chunk yields a sharded
-    multiple-of-``n_dev`` part plus (if ragged) an UNSHARDED tail chunk.
+    multiple-of-``n_dev`` part plus (if ragged) UNSHARDED tail chunks.
+
+    ``cap`` is the TOTAL run capacity of the whole mesh (callers pass
+    ``runs_per_device * n_dev``), so an unsharded tail — which stacks all
+    of its runs on ONE device — is further split into pieces of at most
+    ``cap // n_dev`` runs; a single n_dev-1-run tail chunk would exceed
+    per-device HBM by up to (n_dev-1)/runs_per_device ×.
 
     → list of ``(chunk, use_mesh)`` pairs. With ``n_dev <= 1`` everything
-    is a single-device chunk (use_mesh False).
+    is a single-device chunk (use_mesh False) and ``cap`` is already the
+    per-device capacity.
     """
     out = []
+    per_dev = max(1, cap // max(n_dev, 1))
     for c in range(0, len(todo), cap):
         chunk = list(todo[c : c + cap])
         if n_dev <= 1:
@@ -91,8 +99,9 @@ def mesh_chunks(todo, cap: int, n_dev: int):
         m = (len(chunk) // n_dev) * n_dev
         if m:
             out.append((chunk[:m], True))
-        if len(chunk) > m:
-            out.append((chunk[m:], False))
+        tail = chunk[m:]
+        for t in range(0, len(tail), per_dev):
+            out.append((tail[t : t + per_dev], False))
     return out
 
 

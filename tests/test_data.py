@@ -220,6 +220,39 @@ class TestRadarCropDataset:
         assert ds2.class_map == {1: 0, 9: 1}
         assert ds2.filenames == sorted(names_9_first)
 
+    def test_sequential_remap_ignores_scenario_filter_for_encounter_order(
+        self, monkeypatch
+    ):
+        # Sequential mode in the reference builds subject blocks from
+        # track_dict over the UNFILTERED listing and only then filters by
+        # scenario (datasets.py:394-417): a subject whose earliest raw crop
+        # is in a filtered-out scenario KEEPS its early insertion slot.
+        # Non-sequential mode takes labels from the filtered listing
+        # (datasets.py:413-436), so there first-KEPT-encounter order rules.
+        raw = [
+            "crop0_subj1_smartphone_track0.npy",  # subj 1 first, filtered out
+            "crop0_subj9_free_walk_track0.npy",
+            "crop1_subj1_free_walk_track0.npy",  # subj 1's first KEPT crop
+        ]
+        monkeypatch.setattr("os.listdir", lambda path: list(raw))
+        scen = [SCENARIO.FREE_WALK]
+
+        seq = RadarCropDataset(
+            SPLIT.UNSEEN, "/nonexistent", scenarios=scen, sequential=True
+        )
+        assert seq.class_map == {1: 0, 9: 1}  # unfiltered block order
+
+        flat = RadarCropDataset(SPLIT.UNSEEN, "/nonexistent", scenarios=scen)
+        assert flat.class_map == {9: 0, 1: 1}  # first-kept-encounter order
+
+        # a subject with NO kept crops must not appear at all
+        raw2 = raw[:2]
+        monkeypatch.setattr("os.listdir", lambda path: list(raw2))
+        seq2 = RadarCropDataset(
+            SPLIT.UNSEEN, "/nonexistent", scenarios=scen, sequential=True
+        )
+        assert seq2.class_map == {9: 0}
+
     def test_scenario_filter(self, generated_splits):
         gen, _ = generated_splits
         ds = RadarCropDataset(

@@ -18,6 +18,7 @@ from opensetgaitrecognition_pcaa_tpu.parallel import create_mesh
 from opensetgaitrecognition_pcaa_tpu.parallel.grid import (
     GridORCEDTrainer,
     GridPCAATrainer,
+    mesh_chunks,
     pad_datasets,
 )
 from opensetgaitrecognition_pcaa_tpu.train.pcaa import (
@@ -35,6 +36,37 @@ def arrays(generated_splits):
     x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
     x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
     return x_t, y_t, x_v, y_v
+
+
+class TestMeshChunks:
+    """``cap`` is the TOTAL mesh capacity (runs_per_device × n_dev); an
+    unsharded tail stacks on ONE device, so it must never exceed
+    ``cap // n_dev`` runs (each run carries ~3.5 GB of params+moments at
+    reference dims — a 7-run tail on one v5e would OOM 16 GB HBM)."""
+
+    def test_exact_multiple_is_all_sharded(self):
+        assert mesh_chunks(list(range(16)), cap=16, n_dev=8) == [
+            (list(range(16)), True)
+        ]
+
+    def test_ragged_tail_bounded_by_per_device_cap(self):
+        # 21 runs, 8 devices, 2 runs/device → one sharded 16, tail 5 split
+        # into 2+2+1 single-device pieces (never a 5-run stack on one chip)
+        chunks = mesh_chunks(list(range(21)), cap=16, n_dev=8)
+        assert chunks[0] == (list(range(16)), True)
+        tails = [c for c, use_mesh in chunks[1:]]
+        assert all(not use_mesh for _, use_mesh in chunks[1:])
+        assert [len(t) for t in tails] == [2, 2, 1]
+        assert sum(tails, []) == list(range(16, 21))
+
+    def test_below_mesh_size_splits_to_per_device_pieces(self):
+        # fewer runs than devices: still bounded per device
+        chunks = mesh_chunks(list(range(5)), cap=16, n_dev=8)
+        assert [(len(c), m) for c, m in chunks] == [(2, False), (2, False), (1, False)]
+
+    def test_single_device_cap_is_per_device(self):
+        chunks = mesh_chunks(list(range(5)), cap=2, n_dev=1)
+        assert [(len(c), m) for c, m in chunks] == [(2, False), (2, False), (1, False)]
 
 
 class TestPadDatasets:

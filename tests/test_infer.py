@@ -214,3 +214,46 @@ class TestEnsembleOOD:
             np.array([10.0]),  # rec error way above μ+2σ
         )
         assert out[0] == 2
+
+
+class TestBatchedApply:
+    def test_padding_rows_discarded_and_values_exact(self):
+        from opensetgaitrecognition_pcaa_tpu.infer.common import batched_apply
+
+        x = np.arange(10, dtype=np.float32).reshape(10, 1)
+
+        def fn(chunk, params):
+            return (chunk * 2.0, chunk + params)
+
+        a, b = batched_apply(fn, x, batch_size=4, params=np.float32(1.0))
+        np.testing.assert_array_equal(a, x * 2.0)
+        np.testing.assert_array_equal(b, x + 1.0)
+
+    def test_runner_reused_for_stable_fn_and_collectable_for_dropped(self):
+        # Stable fn objects must hit the same compiled runner (seed loops in
+        # the parity tools pay a full recompile per call otherwise); fresh
+        # closures must not be pinned for the life of the process once the
+        # caller drops them (decoder-scale executables on a 16 GB box).
+        import gc
+        import weakref
+
+        from opensetgaitrecognition_pcaa_tpu.infer.common import _runner
+
+        def stable(chunk, params):
+            return (chunk,)
+
+        assert _runner(stable, False) is _runner(stable, False)
+        assert _runner(stable, False) is not _runner(stable, True)
+
+        def make():
+            def anon(chunk, params):
+                return (chunk,)
+
+            return anon
+
+        anon = make()
+        ref = weakref.ref(anon)
+        _runner(anon, False)
+        del anon
+        gc.collect()
+        assert ref() is None, "dropped closure still pinned by the runner cache"

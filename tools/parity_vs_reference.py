@@ -626,12 +626,13 @@ def main():
         # a cached result from an earlier invocation with different
         # --epochs/--ks would crash the aggregate (missing k keys) or,
         # worse, silently mislabel the measurement
+        ref_ks = set((r.get("ref") or {}).keys())
         if r.get("epochs") != args.epochs or not set(
             str(k) for k in args.ks
-        ) <= set(r["ref"].keys()):
+        ) <= ref_ks:
             raise SystemExit(
                 f"{res_path} was produced with epochs={r.get('epochs')} / "
-                f"ks={sorted(r['ref'].keys())}, not the requested "
+                f"ks={sorted(ref_ks)}, not the requested "
                 f"epochs={args.epochs} / ks={args.ks} — use a fresh "
                 "--workdir (or delete the stale seed dirs)"
             )
