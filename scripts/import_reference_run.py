@@ -1,0 +1,362 @@
+"""Import a REFERENCE torch run folder into this framework's run-folder contract.
+
+Reference training leaves ``models/<NAME>/`` holding a pickled config plus
+per-module ``.pt`` state_dicts and the centroid tensor
+(``PCAA_ablation.py:1087-1119``, ``train_AAE.py:340-360``,
+``train_ORCED.py:255-276``, ``train_AAE.py:120-123``). This tool converts
+such a folder into the framework contract (``train/run_folder.py``):
+
+====================       =============================
+reference input            framework output
+====================       =============================
+config.pkl                 config.json
+<NAME>_E.pt                <NAME>_E.msgpack
+<NAME>_G.pt                <NAME>_G.msgpack        (if present)
+<NAME>_D.pt                <NAME>_D.msgpack        (PCAA only)
+<NAME>_ML.pt               <NAME>_ML.msgpack       (if present)
+<NAME>_GPH.pt              <NAME>_GPH.msgpack      (if present)
+<NAME>_DPH.pt              <NAME>_DPH.msgpack      (if present)
+discriminator_means.pt     discriminator_means.npy (PCAA only)
+====================       =============================
+
+so framework inference (``infer/pcaa.py``, ``infer/orced.py``), the grid
+drivers' inference stages, and AOT serving export
+(``scripts/export_serving.py``) all run directly on reference-trained
+weights — the missing half of the migration story next to
+``tools/transplant.py`` (framework → reference direction).
+
+Weight-layout conversion reuses the inverse maps in ``tools/transplant.py``
+(torch ``Conv2d(1x1)``/``Conv1d``/BN/Linear → flax trees, plus the decoder
+flat-output ``(C,T,N)`` → ``(T,N,C)`` unit permutation) — the same maps the
+CRN twin harness uses, whose forward composition was verified against the
+reference's actual torch forward (``tools/decision_parity.py`` transplant
+drift asserts). Each imported module is additionally ROUND-TRIP checked
+here: mapping the imported flax tree back through the forward direction
+must reproduce the loaded ``state_dict`` bit-for-bit.
+
+``config.pkl`` unpickling does NOT require the reference checkout: the
+pickle references ``constants.SCENARIO`` (reference ``constants.py:13-16``),
+which a tolerant unpickler remaps onto the framework's value-identical
+``SCENARIO`` enum when the reference module is absent.
+
+Usage::
+
+    python scripts/import_reference_run.py --ref-run /ref/models/PCAA_Abl2_V4.8.0 \
+        --out-models models_imported [--data-path ...] [--gen-data-path ...]
+
+Model kind is auto-detected (``<NAME>_D.pt`` present → PCAA, else ORCED;
+every PCAA variant saves a discriminator, ORCED never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import pickle
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from opensetgaitrecognition_pcaa_tpu.config import (  # noqa: E402
+    SCENARIO,
+    SPLIT,
+    Config,
+)
+from opensetgaitrecognition_pcaa_tpu.train.run_folder import (  # noqa: E402
+    module_path,
+    save_params,
+)
+from tools.transplant import (  # noqa: E402
+    cg_encoder_state_dict,
+    mean_learner_state_dict,
+    orced_decoder_state_dict,
+    orced_encoder_state_dict,
+    torch_cg_decoder_to_flax,
+    torch_cg_discriminator_to_flax,
+    torch_cg_encoder_to_flax,
+    torch_mean_learner_to_flax,
+    torch_orced_decoder_to_flax,
+    torch_orced_encoder_to_flax,
+    torch_sequential_head_to_flax,
+)
+
+
+# ---------------------------------------------------------------------------
+# config.pkl → framework Config
+# ---------------------------------------------------------------------------
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Unpickle a reference ``config.pkl`` without the reference on sys.path.
+
+    The pickle stream names ``constants.SCENARIO`` / ``constants.SPLIT``
+    (enums pickle as ``cls(value)`` calls); when the reference's
+    ``constants`` module is unavailable we substitute the framework enums,
+    whose values are identical by construction (``config.py:19-33``)."""
+
+    _SUBSTITUTES = {
+        ("constants", "SCENARIO"): SCENARIO,
+        ("constants", "SPLIT"): SPLIT,
+    }
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ModuleNotFoundError, AttributeError):
+            try:
+                return self._SUBSTITUTES[(module, name)]
+            except KeyError:
+                raise pickle.UnpicklingError(
+                    f"config.pkl references {module}.{name}, which is neither "
+                    "importable nor a known reference enum"
+                ) from None
+
+
+def load_reference_config(path: str) -> dict:
+    """→ the raw reference CONFIG dict from ``config.pkl``."""
+    with open(path, "rb") as f:
+        return _TolerantUnpickler(io.BytesIO(f.read())).load()
+
+
+def reference_config_to_framework(ref_cfg: dict, **overrides) -> Config:
+    """Reference CONFIG dict → framework ``Config``.
+
+    Key names match one-for-one (``config.py`` docstring); this only
+    normalizes python-level representation differences: scenario enums →
+    value strings, numpy scalars → python numbers, wandb-only keys dropped
+    (``Config.from_dict`` filters to known fields)."""
+    d = {}
+    for k, v in ref_cfg.items():
+        if k == "TRAIN_SCENARIOS":
+            v = [getattr(s, "value", str(s)) for s in v]
+        elif k == "TRAIN_CLASSES":
+            v = [int(c) for c in v]
+        elif isinstance(v, np.generic):
+            v = v.item()
+        d[k] = v
+    d.update(overrides)
+    return Config.from_dict(d)
+
+
+# ---------------------------------------------------------------------------
+# module conversion + round-trip verification
+# ---------------------------------------------------------------------------
+
+
+def _load_state_dict(path: str) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return {k: v for k, v in sd.items()}
+
+
+def _assert_roundtrip(original_sd: dict, rebuilt_sd: dict, tag: str) -> None:
+    """Every tensor the forward map emits must match the loaded state_dict
+    bit-for-bit (``num_batches_tracked`` excepted — the forward map writes a
+    fresh 0, the trained value is irrelevant to eval math)."""
+    for k, v in rebuilt_sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        a = np.asarray(v.detach().cpu().numpy(), dtype=np.float32)
+        b = np.asarray(original_sd[k].detach().cpu().numpy(), dtype=np.float32)
+        if not np.array_equal(a, b):
+            raise AssertionError(
+                f"{tag}: round-trip mismatch at {k} "
+                f"(max |delta| {np.max(np.abs(a - b)):.3e})"
+            )
+
+
+def _head_roundtrip(original_sd: dict, params: dict, tag: str) -> None:
+    """Inline forward check for ``Sequential(Linear, ELU)`` heads and the
+    CGDiscriminator (no dedicated forward map in tools/transplant.py)."""
+    import torch
+
+    rebuilt = {}
+    layer_keys = sorted(
+        {k.split(".")[0] for k in original_sd if k.endswith(".weight")}, key=int
+    )
+    for i, dense in enumerate(sorted(params, key=lambda s: int(s.split("_")[1]))):
+        li = layer_keys[i]
+        rebuilt[f"{li}.weight"] = torch.tensor(
+            np.asarray(params[dense]["kernel"], dtype=np.float32).T
+        )
+        rebuilt[f"{li}.bias"] = torch.tensor(
+            np.asarray(params[dense]["bias"], dtype=np.float32)
+        )
+    _assert_roundtrip(original_sd, rebuilt, tag)
+
+
+def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Config:
+    """Reference PCAA run folder (any variant) → framework run folder."""
+    cfg = reference_config_to_framework(
+        load_reference_config(os.path.join(ref_run_dir, "config.pkl")),
+        MODELS_PATH=out_models,
+        **cfg_overrides,
+    )
+    name = cfg.MODEL_NAME or os.path.basename(os.path.normpath(ref_run_dir))
+    if not cfg.MODEL_NAME:
+        cfg = cfg.replace(MODEL_NAME=name)
+    run_dir = cfg.run_dir()
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+
+    def _pt(tag):
+        return os.path.join(ref_run_dir, f"{name}_{tag}.pt")
+
+    # Encoder: projection-head presence is read off the checkpoint itself
+    # (V1/V4 train with one, V2/V3/BASE without — PCAA_ablation.py:763-786).
+    enc_sd = _load_state_dict(_pt("E"))
+    use_head = "MLP_head.0.weight" in enc_sd
+    p, s = torch_cg_encoder_to_flax(enc_sd, use_projection_head=use_head)
+    enc_vars = {"params": p, "batch_stats": s}
+    _assert_roundtrip(enc_sd, cg_encoder_state_dict(enc_vars, use_head), "E")
+    save_params(enc_vars, module_path(run_dir, name, "E"))
+
+    disc_sd = _load_state_dict(_pt("D"))
+    disc_params = torch_cg_discriminator_to_flax(disc_sd)
+    _head_roundtrip(
+        {k.split("model.", 1)[1]: v for k, v in disc_sd.items()}, disc_params, "D"
+    )
+    save_params({"params": disc_params}, module_path(run_dir, name, "D"))
+
+    if os.path.exists(_pt("G")):  # V3 trains without a decoder
+        dec_sd = _load_state_dict(_pt("G"))
+        dec_params = torch_cg_decoder_to_flax(
+            dec_sd, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
+        )
+        _assert_roundtrip(
+            dec_sd,
+            orced_decoder_state_dict(
+                {"params": dec_params}, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
+            ),
+            "G",
+        )
+        save_params({"params": dec_params}, module_path(run_dir, name, "G"))
+
+    for tag in ("GPH", "DPH"):
+        if os.path.exists(_pt(tag)):
+            head_sd = _load_state_dict(_pt(tag))
+            head_params = torch_sequential_head_to_flax(head_sd)
+            _head_roundtrip(head_sd, head_params, tag)
+            save_params({"params": head_params}, module_path(run_dir, name, tag))
+
+    if os.path.exists(_pt("ML")):  # V1's learned-centroid mean learner
+        ml_sd = _load_state_dict(_pt("ML"))
+        mp, ms = torch_mean_learner_to_flax(ml_sd)
+        ml_vars = {"params": mp, "batch_stats": ms}
+        _assert_roundtrip(ml_sd, mean_learner_state_dict(ml_vars), "ML")
+        save_params(ml_vars, module_path(run_dir, name, "ML"))
+
+    import torch
+
+    means = torch.load(
+        os.path.join(ref_run_dir, "discriminator_means.pt"), map_location="cpu"
+    )
+    np.save(
+        os.path.join(run_dir, "discriminator_means.npy"),
+        np.asarray(means.detach().cpu().numpy(), dtype=np.float32),
+    )
+    return cfg
+
+
+def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Config:
+    """Reference ORCED run folder (E/G/ML, ``train_ORCED.py:255-276``) →
+    framework run folder."""
+    cfg = reference_config_to_framework(
+        load_reference_config(os.path.join(ref_run_dir, "config.pkl")),
+        MODELS_PATH=out_models,
+        **cfg_overrides,
+    )
+    name = cfg.MODEL_NAME or os.path.basename(os.path.normpath(ref_run_dir))
+    if not cfg.MODEL_NAME:
+        cfg = cfg.replace(MODEL_NAME=name)
+    run_dir = cfg.run_dir()
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+
+    enc_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_E.pt"))
+    p, s = torch_orced_encoder_to_flax(enc_sd)
+    enc_vars = {"params": p, "batch_stats": s}
+    _assert_roundtrip(enc_sd, orced_encoder_state_dict(enc_vars), "E")
+    save_params(enc_vars, module_path(run_dir, name, "E"))
+
+    dec_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_G.pt"))
+    dec_params = torch_orced_decoder_to_flax(
+        dec_sd, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
+    )
+    _assert_roundtrip(
+        dec_sd,
+        orced_decoder_state_dict(
+            {"params": dec_params}, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
+        ),
+        "G",
+    )
+    save_params({"params": dec_params}, module_path(run_dir, name, "G"))
+
+    ml_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_ML.pt"))
+    mp, ms = torch_mean_learner_to_flax(ml_sd)
+    ml_vars = {"params": mp, "batch_stats": ms}
+    _assert_roundtrip(ml_sd, mean_learner_state_dict(ml_vars), "ML")
+    save_params(ml_vars, module_path(run_dir, name, "ML"))
+    return cfg
+
+
+def detect_kind(ref_run_dir: str) -> str:
+    """'pcaa' iff the run saved a discriminator — every PCAA variant does
+    (``PCAA_ablation.py:1094-1119``, ``train_AAE.py:340-360``), ORCED never
+    (``train_ORCED.py:255-276``)."""
+    name = os.path.basename(os.path.normpath(ref_run_dir))
+    return "pcaa" if os.path.exists(os.path.join(ref_run_dir, f"{name}_D.pt")) else "orced"
+
+
+def import_reference_run(
+    ref_run_dir: str, out_models: str, kind: str = "auto", **cfg_overrides
+) -> Config:
+    if kind == "auto":
+        kind = detect_kind(ref_run_dir)
+    fn = import_pcaa_run if kind == "pcaa" else import_orced_run
+    return fn(ref_run_dir, out_models, **cfg_overrides)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument(
+        "--ref-run",
+        nargs="+",
+        required=True,
+        help="one or more reference run folders (models/<NAME>)",
+    )
+    ap.add_argument("--out-models", default="models_imported")
+    ap.add_argument("--kind", choices=("auto", "pcaa", "orced"), default="auto")
+    ap.add_argument(
+        "--data-path", default=None, help="override DATA_PATH in the saved config"
+    )
+    ap.add_argument(
+        "--gen-data-path",
+        default=None,
+        help="override GEN_DATA_PATH in the saved config",
+    )
+    args = ap.parse_args(argv)
+
+    overrides = {}
+    if args.data_path:
+        overrides["DATA_PATH"] = args.data_path
+    if args.gen_data_path:
+        overrides["GEN_DATA_PATH"] = args.gen_data_path
+
+    for ref_run in args.ref_run:
+        kind = detect_kind(ref_run) if args.kind == "auto" else args.kind
+        cfg = import_reference_run(ref_run, args.out_models, kind, **overrides)
+        print(
+            f"[import] {ref_run} → {cfg.run_dir()} ({kind}, "
+            f"{cfg.n_classes} classes, round-trip verified)"
+        )
+
+
+if __name__ == "__main__":
+    main()

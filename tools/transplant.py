@@ -74,7 +74,10 @@ def _backbone_entries(params: dict, stats: dict) -> dict:
         )
     tc_p = params["GaitBackbone_0"]["TemporalConvBlock_0"]
     tc_s = stats["GaitBackbone_0"]["TemporalConvBlock_0"]
-    for i in range(6):
+    # TCN depth = len(DTC_FILTERS) (6 at reference dims; derived from the
+    # tree so non-default configs map too)
+    n_tcn = sum(k.startswith("CausalDilatedConv1d_") for k in tc_p)
+    for i in range(n_tcn):
         conv = tc_p[f"CausalDilatedConv1d_{i}"]["Conv_0"]
         sd[f"tc_block.dtc{i + 1}.conv1d.weight"] = _t(
             np.asarray(conv["kernel"]).transpose(2, 1, 0)
@@ -191,7 +194,8 @@ def _torch_backbone_to_flax(sd: dict):
             "mean": _n(sd[f"{pre}.1.running_mean"]),
             "var": _n(sd[f"{pre}.1.running_var"]),
         }
-    for i in range(6):
+    n_tcn = len({k.split(".")[1] for k in sd if k.startswith("tc_block.dtc")})
+    for i in range(n_tcn):
         pre = f"tc_block.dtc{i + 1}"
         tc_p[f"CausalDilatedConv1d_{i}"] = {
             "Conv_0": {
