@@ -62,11 +62,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 from opensetgaitrecognition_pcaa_tpu.config import (  # noqa: E402
     SCENARIO,
     SPLIT,
     Config,
 )
+from opensetgaitrecognition_pcaa_tpu.models import (  # noqa: E402
+    CGDecoder,
+    CGDiscriminator,
+    CGEncoder,
+    GaussianMeanLearner,
+    ORCEDDecoder,
+    ORCEDEncoder,
+)
+from opensetgaitrecognition_pcaa_tpu.models.pcaa import ProjectionHead  # noqa: E402
 from opensetgaitrecognition_pcaa_tpu.train.run_folder import (  # noqa: E402
     module_path,
     save_params,
@@ -148,6 +160,40 @@ def reference_config_to_framework(ref_cfg: dict, **overrides) -> Config:
 # ---------------------------------------------------------------------------
 
 
+def _assert_matches_config(tree, make_shapes, tag: str) -> None:
+    """The converted tree must carry exactly the shapes the config-declared
+    architecture produces. config.pkl and the .pt files normally agree (the
+    reference writes both from one run), but a mixed-up/hand-edited folder
+    would otherwise import "successfully" and then kill every consumer —
+    inference builds modules FROM the config, so the mismatch surfaces as an
+    opaque flax ScopeParamShapeError deep inside the first apply. Fail here
+    with the offending entry spelled out instead."""
+    import jax
+
+    from flax import traverse_util
+    from flax.serialization import to_state_dict
+
+    want = traverse_util.flatten_dict(to_state_dict(jax.eval_shape(make_shapes)))
+    got = traverse_util.flatten_dict(to_state_dict(tree))
+    if set(got) != set(want):
+        missing = sorted(".".join(k) for k in set(want) - set(got))
+        extra = sorted(".".join(k) for k in set(got) - set(want))
+        raise ValueError(
+            f"{tag}: checkpoint entries do not match the config-declared "
+            f"architecture (missing: {missing or '-'}; unexpected: "
+            f"{extra or '-'}) — config.pkl and {tag}.pt disagree"
+        )
+    for k in want:
+        if tuple(np.shape(got[k])) != tuple(want[k].shape):
+            raise ValueError(
+                f"{tag}: checkpoint shape {tuple(np.shape(got[k]))} at "
+                f"{'.'.join(k)} does not match the config-declared "
+                f"architecture's {tuple(want[k].shape)} — config.pkl and "
+                f"{tag}.pt disagree (check TRAIN_CLASSES / SUP_LATENT_DIM / "
+                "POINTNET_OUT_DIM / DTC_FILTERS / NSTEPS / NMAX / NFEATURES)"
+            )
+
+
 def _load_state_dict(path: str) -> dict:
     import torch
 
@@ -210,11 +256,26 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
 
     # Encoder: projection-head presence is read off the checkpoint itself
     # (V1/V4 train with one, V2/V3/BASE without — PCAA_ablation.py:763-786).
+    n, latent = cfg.n_classes, cfg.SUP_LATENT_DIM
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32)
+    z0 = jnp.zeros((1, latent), jnp.float32)
+
     enc_sd = _load_state_dict(_pt("E"))
     use_head = "MLP_head.0.weight" in enc_sd
     p, s = torch_cg_encoder_to_flax(enc_sd, use_projection_head=use_head)
     enc_vars = {"params": p, "batch_stats": s}
     _assert_roundtrip(enc_sd, cg_encoder_state_dict(enc_vars, use_head), "E")
+    enc_mod = CGEncoder(
+        n_out_labels=n,
+        sup_latent_dim=latent,
+        pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+        dtc_filters=tuple(cfg.DTC_FILTERS),
+        use_projection_head=use_head,
+    )
+    _assert_matches_config(
+        enc_vars, lambda: enc_mod.init(key, x0, train=False), "E"
+    )
     save_params(enc_vars, module_path(run_dir, name, "E"))
 
     disc_sd = _load_state_dict(_pt("D"))
@@ -222,7 +283,17 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
     _head_roundtrip(
         {k.split("model.", 1)[1]: v for k, v in disc_sd.items()}, disc_params, "D"
     )
+    _assert_matches_config(
+        {"params": disc_params},
+        lambda: CGDiscriminator().init(key, z0, jnp.zeros((1, n), jnp.float32)),
+        "D",
+    )
     save_params({"params": disc_params}, module_path(run_dir, name, "D"))
+
+    # The decoder reads the GPH's 2*latent projection when one was trained,
+    # the raw latent otherwise (train/pcaa.py:234, PCAA_ablation.py variant
+    # wiring) — so its config-declared input width depends on GPH presence.
+    dec_in = 2 * latent if os.path.exists(_pt("GPH")) else latent
 
     if os.path.exists(_pt("G")):  # V3 trains without a decoder
         dec_sd = _load_state_dict(_pt("G"))
@@ -236,13 +307,32 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
             ),
             "G",
         )
+        dec_mod = CGDecoder(
+            nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+        )
+        _assert_matches_config(
+            {"params": dec_params},
+            lambda: {
+                "params": dec_mod.init(
+                    key, jnp.zeros((1, dec_in), jnp.float32)
+                )["params"]
+            },
+            "G",
+        )
         save_params({"params": dec_params}, module_path(run_dir, name, "G"))
 
-    for tag in ("GPH", "DPH"):
+    for tag, width in (("GPH", 2 * latent), ("DPH", latent)):
         if os.path.exists(_pt(tag)):
             head_sd = _load_state_dict(_pt(tag))
             head_params = torch_sequential_head_to_flax(head_sd)
             _head_roundtrip(head_sd, head_params, tag)
+            _assert_matches_config(
+                {"params": head_params},
+                lambda w=width: {
+                    "params": ProjectionHead(w).init(key, z0)["params"]
+                },
+                tag,
+            )
             save_params({"params": head_params}, module_path(run_dir, name, tag))
 
     if os.path.exists(_pt("ML")):  # V1's learned-centroid mean learner
@@ -250,6 +340,13 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
         mp, ms = torch_mean_learner_to_flax(ml_sd)
         ml_vars = {"params": mp, "batch_stats": ms}
         _assert_roundtrip(ml_sd, mean_learner_state_dict(ml_vars), "ML")
+        _assert_matches_config(
+            ml_vars,
+            lambda: GaussianMeanLearner(latent).init(
+                key, jnp.zeros((1, n), jnp.float32), train=False
+            ),
+            "ML",
+        )
         save_params(ml_vars, module_path(run_dir, name, "ML"))
 
     import torch
@@ -257,10 +354,13 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
     means = torch.load(
         os.path.join(ref_run_dir, "discriminator_means.pt"), map_location="cpu"
     )
-    np.save(
-        os.path.join(run_dir, "discriminator_means.npy"),
-        np.asarray(means.detach().cpu().numpy(), dtype=np.float32),
-    )
+    means = np.asarray(means.detach().cpu().numpy(), dtype=np.float32)
+    if means.shape != (n, latent):
+        raise ValueError(
+            f"discriminator_means shape {means.shape} does not match the "
+            f"config-declared ({n}, {latent})"
+        )
+    np.save(os.path.join(run_dir, "discriminator_means.npy"), means)
     return cfg
 
 
@@ -279,10 +379,25 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "config.json"))
 
+    n, latent = cfg.n_classes, cfg.SUP_LATENT_DIM
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32)
+
     enc_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_E.pt"))
     p, s = torch_orced_encoder_to_flax(enc_sd)
     enc_vars = {"params": p, "batch_stats": s}
     _assert_roundtrip(enc_sd, orced_encoder_state_dict(enc_vars), "E")
+    enc_mod = ORCEDEncoder(
+        n_out_labels=n,
+        sup_latent_dim=latent,
+        pointnet_out_dim=cfg.POINTNET_OUT_DIM,
+        dtc_filters=tuple(cfg.DTC_FILTERS),
+    )
+    _assert_matches_config(
+        enc_vars,
+        lambda: enc_mod.init({"params": key, "reparam": key}, x0, train=False),
+        "E",
+    )
     save_params(enc_vars, module_path(run_dir, name, "E"))
 
     dec_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_G.pt"))
@@ -296,12 +411,31 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
         ),
         "G",
     )
+    dec_mod = ORCEDDecoder(
+        nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
+    )
+    _assert_matches_config(
+        {"params": dec_params},
+        lambda: {
+            "params": dec_mod.init(
+                key, jnp.zeros((1, latent), jnp.float32)
+            )["params"]
+        },
+        "G",
+    )
     save_params({"params": dec_params}, module_path(run_dir, name, "G"))
 
     ml_sd = _load_state_dict(os.path.join(ref_run_dir, f"{name}_ML.pt"))
     mp, ms = torch_mean_learner_to_flax(ml_sd)
     ml_vars = {"params": mp, "batch_stats": ms}
     _assert_roundtrip(ml_sd, mean_learner_state_dict(ml_vars), "ML")
+    _assert_matches_config(
+        ml_vars,
+        lambda: GaussianMeanLearner(latent).init(
+            key, jnp.zeros((1, n), jnp.float32), train=False
+        ),
+        "ML",
+    )
     save_params(ml_vars, module_path(run_dir, name, "ML"))
     return cfg
 

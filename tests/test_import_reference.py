@@ -68,7 +68,7 @@ def assert_trees_bitequal(got, want, tag):
         )
 
 
-def _reference_config_pickle(model_name: str) -> bytes:
+def _reference_config_pickle(model_name: str, **overrides) -> bytes:
     """Pickle a reference-shaped CONFIG dict whose TRAIN_SCENARIOS are enum
     members of a module named ``constants`` that is NOT importable at load
     time — exactly the situation when importing a run folder without the
@@ -115,6 +115,7 @@ def _reference_config_pickle(model_name: str) -> bytes:
         "WANDB_PROJECT": "PCAA",
         "WANDB_MODE": "disabled",
     }
+    cfg.update(overrides)
     sys.modules["constants"] = mod
     try:
         blob = pickle.dumps(cfg)
@@ -367,3 +368,24 @@ class TestImportGuards:
         out = str(tmp_path_factory.mktemp("fw_broken"))
         with pytest.raises(KeyError):
             import_pcaa_run(str(broken), out)
+
+    def test_config_checkpoint_mismatch_refused(
+        self, fake_pcaa_ref_run, tmp_path_factory
+    ):
+        """A config.pkl whose declared architecture contradicts the .pt
+        shapes (here: 2 TRAIN_CLASSES vs a 3-wide sup head) must be refused
+        with the offending entry named — downstream consumers build modules
+        FROM the config, so silently importing it would defer the failure
+        to an opaque flax ScopeParamShapeError at first inference."""
+        import shutil
+
+        run, name = fake_pcaa_ref_run[:2]
+        mixed = tmp_path_factory.mktemp("mixed") / name
+        shutil.copytree(run, mixed)
+        # E.pt was built for 3 classes; the config now declares 2
+        (mixed / "config.pkl").write_bytes(
+            _reference_config_pickle(name, TRAIN_CLASSES=[0, 4])
+        )
+        out = str(tmp_path_factory.mktemp("fw_mixed"))
+        with pytest.raises(ValueError, match="config-declared"):
+            import_pcaa_run(str(mixed), out)
