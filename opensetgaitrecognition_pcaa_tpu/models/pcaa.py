@@ -98,8 +98,14 @@ class CGDiscriminator(nn.Module):
 
 
 class ProjectionHead(nn.Module):
-    """Single Dense + ELU head (decoder head 32→64, discriminator head 64→32;
-    reference ``PCAA_ablation.py:778-786``)."""
+    """Single Dense + ELU head (reference ``PCAA_ablation.py:778-786``).
+
+    Decoder head: latent→2·latent, as in the reference. Discriminator head:
+    the reference DECLARES 2·latent→latent but feeds it the latent-dim
+    ``sup_fv`` (``PCAA_ablation.py:783-786`` vs ``:934-936``), so its
+    ``proj_head_on_discriminator`` path can never execute; here the head is
+    built latent→latent so the option actually works (documented
+    deviation — no reference numbers exist for this path)."""
 
     features: int
 

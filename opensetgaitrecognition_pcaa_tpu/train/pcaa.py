@@ -213,6 +213,12 @@ def build_pcaa(
             else None
         ),
         dec_head=ProjectionHead(latent * 2) if spec.use_dec_head else None,
+        # Deliberate deviation: the reference declares its discriminator
+        # projection head Linear(2*latent, latent) but feeds it the
+        # latent-dim sup_fv (PCAA_ablation.py:783-786 vs :934-936) — the
+        # proj_head_on_discriminator=True path cannot execute there without
+        # a shape error. We build the head the call site implies
+        # (latent -> latent) so the option actually works.
         disc_head=ProjectionHead(latent) if spec.use_disc_head else None,
         mean_learner=GaussianMeanLearner(latent) if spec.learned_centroids else None,
         spec=spec,
@@ -238,9 +244,10 @@ def build_pcaa(
 
     params_d = {"discriminator": disc_vars["params"]}
     if mods.disc_head is not None:
-        params_d["disc_head"] = mods.disc_head.init(
-            keys[4], jnp.zeros((2, latent * 2), jnp.float32)
-        )["params"]
+        # latent-width input: the head is applied to sup_fv (see the
+        # deviation note on the constructor above — the reference's
+        # 2*latent declaration can never execute).
+        params_d["disc_head"] = mods.disc_head.init(keys[4], z0)["params"]
 
     ml_params: Any = {}
     if mods.mean_learner is not None:

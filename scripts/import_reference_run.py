@@ -324,6 +324,27 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
     for tag, width in (("GPH", 2 * latent), ("DPH", latent)):
         if os.path.exists(_pt(tag)):
             head_sd = _load_state_dict(_pt(tag))
+            if tag == "DPH" and tuple(head_sd["0.weight"].shape) == (
+                latent,
+                2 * latent,
+            ):
+                # The reference V4 declares its discriminator projection
+                # head Linear(2*latent -> latent) but would feed it the
+                # latent-dim sup_fv (PCAA_ablation.py:783-786 vs :934-936,
+                # models.py MLP_sup1 out = SUP_LATENT_DIM) — the
+                # proj_head_on_discriminator path cannot execute without a
+                # shape error, so every complete reference V4 folder holds
+                # this head at init, untrained and unused (it IS in
+                # optimizer_D's chain, but no gradient ever reaches it).
+                # The framework's usable disc head is latent -> latent
+                # (train/pcaa.py:216); the orphan is not importable as one.
+                print(
+                    f"[import] skipping {tag}: the reference's dead "
+                    "discriminator projection head (declared "
+                    f"{2 * latent}->{latent}, never executable — "
+                    "PCAA_ablation.py:783-786 vs :934-936)"
+                )
+                continue
             head_params = torch_sequential_head_to_flax(head_sd)
             _head_roundtrip(head_sd, head_params, tag)
             _assert_matches_config(

@@ -369,6 +369,36 @@ class TestImportGuards:
         with pytest.raises(KeyError):
             import_pcaa_run(str(broken), out)
 
+    def test_dead_reference_dph_skipped(
+        self, fake_pcaa_ref_run, tmp_path_factory, capsys
+    ):
+        """Real reference V4 folders carry a DPH declared Linear(2*latent,
+        latent) that is untrained and unused (the proj_head_on_discriminator
+        path feeds it latent-dim sup_fv and cannot execute —
+        PCAA_ablation.py:783-786 vs :934-936). Import must skip it with a
+        note, not refuse the folder."""
+        import shutil
+
+        import torch
+
+        run, name = fake_pcaa_ref_run[:2]
+        withdead = tmp_path_factory.mktemp("dead_dph") / name
+        shutil.copytree(run, withdead)
+        torch.save(
+            {
+                "0.weight": torch.zeros(LAT, 2 * LAT),
+                "0.bias": torch.zeros(LAT),
+            },
+            withdead / f"{name}_DPH.pt",
+        )
+        out = str(tmp_path_factory.mktemp("fw_dead_dph"))
+        cfg = import_pcaa_run(str(withdead), out)
+        assert not os.path.exists(module_path(cfg.run_dir(), name, "DPH"))
+        assert "dead" in capsys.readouterr().out
+        # the rest of the folder imported normally
+        assert os.path.exists(module_path(cfg.run_dir(), name, "E"))
+        assert os.path.exists(module_path(cfg.run_dir(), name, "GPH"))
+
     def test_config_checkpoint_mismatch_refused(
         self, fake_pcaa_ref_run, tmp_path_factory
     ):

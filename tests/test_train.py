@@ -88,6 +88,31 @@ class TestPCAATraining:
         assert "Reconstruction Loss Train" in rec
         assert "Valid Accuracy" in rec
 
+    def test_v4_disc_head_trains(self, generated_splits, tmp_path, arrays):
+        """``proj_head_on_discriminator=True`` must actually run. The
+        reference declares this head Linear(2*latent, latent) yet feeds it
+        the latent-dim ``sup_fv`` (PCAA_ablation.py:783-786 vs :934-936), so
+        the option can never execute there; we build it latent→latent by
+        design (documented deviation, models/pcaa.py::ProjectionHead)."""
+        gen, _ = generated_splits
+        cfg = tiny_config(gen, tmp_path, "SMOKE_V4DH.3.1", EPOCHS=1)
+        out = train_pcaa(
+            cfg,
+            VARIATION.V4,
+            proj_head_on_discriminator=True,
+            datasets=arrays,
+            verbose=False,
+        )
+        assert np.isfinite(out["Total Loss Train"])
+        run_dir = cfg.run_dir()
+        assert "SMOKE_V4DH.3.1_DPH.msgpack" in set(os.listdir(run_dir))
+        dph = load_params(
+            os.path.join(run_dir, "SMOKE_V4DH.3.1_DPH.msgpack")
+        )
+        assert np.asarray(
+            dph["params"]["TorchDense_0"]["kernel"]
+        ).shape == (16, 16)
+
     def test_v3_has_no_decoder(self, generated_splits, tmp_path, arrays):
         gen, _ = generated_splits
         cfg = tiny_config(gen, tmp_path, "SMOKE_V3.3.1", EPOCHS=1)
