@@ -165,6 +165,44 @@ def mean_learner_state_dict(ml_vars: dict) -> dict:
     return sd
 
 
+def cg_discriminator_state_dict(params: dict) -> dict:
+    """Framework ``CGDiscriminator`` params → reference
+    ``models.CGDiscriminator`` state_dict (``models.py:405-421`` —
+    ``Sequential(Linear, ELU, Linear, ELU, Linear)`` under ``model.``)."""
+    sd = {}
+    for i, li in enumerate((0, 2, 4)):
+        sd.update(_linear_entries(f"model.{li}", params[f"TorchDense_{i}"]))
+    return sd
+
+
+def sequential_head_state_dict(params: dict) -> dict:
+    """Framework ``ProjectionHead`` params → reference
+    ``torch.nn.Sequential(Linear, ELU)`` head state_dict
+    (``PCAA_ablation.py:778-786``)."""
+    return _linear_entries("0", params["TorchDense_0"])
+
+
+def decoder_bn_placeholder_entries(dec_mlp_size: int) -> dict:
+    """Fresh-init ``bn1..bn4`` entries for the reference decoders.
+
+    ``CGDecoder``/``ORCEDDecoder`` declare four ``BatchNorm1d`` modules that
+    their ``forward`` never executes (``models.py:353-368,513-528`` vs
+    ``:373-385,534-545``), so a strict ``load_state_dict`` demands the keys
+    while their values are irrelevant to any computation — emit
+    default-initialized entries (``weight=1, bias=0, mean=0, var=1``)."""
+    import torch
+
+    sd = {}
+    for i in range(1, 5):
+        width = dec_mlp_size // (2 ** (5 - i))
+        sd[f"bn{i}.weight"] = torch.ones(width)
+        sd[f"bn{i}.bias"] = torch.zeros(width)
+        sd[f"bn{i}.running_mean"] = torch.zeros(width)
+        sd[f"bn{i}.running_var"] = torch.ones(width)
+        sd[f"bn{i}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Inverse direction: reference torch state_dicts → framework flax trees
 # (used by the CRN twin harness to start both implementations from the SAME

@@ -1,0 +1,308 @@
+#!/usr/bin/env python
+"""Validate ``scripts/export_reference_run.py`` against the ACTUAL torch
+reference: the reference's own inference must run on an exported
+framework-TRAINED run folder and reach the framework's decisions.
+
+The mirror of ``tools/validate_import.py`` (reference-trained → framework
+consumers); together they close the migration loop in both directions on
+real trained weights, not random-init fixtures.
+
+Flow:
+
+1. generate splits with the reference's own ``MSRadarDataset.generate_splits``;
+2. train a framework V4 run at tiny dims (``train/pcaa.py``) — real trained
+   BatchNorm statistics, calibrated centroids;
+3. export the run folder with ``export_reference_run`` into the reference's
+   ``models/`` tree (here the real ``constants.SCENARIO`` is importable, so
+   the config.pkl path through the live reference enum is exercised — the
+   stand-in path is covered by ``tests/test_export_reference.py``);
+4. run the reference's own ``CGAAE_inference`` (``inference_PCAA.py:382-469``)
+   on the exported folder;
+5. run the framework's ``pcaa_inference`` on the original run, over the SAME
+   regenerated crops;
+6. join decisions per crop and report agreement.
+
+At k=1 every crop is its own voting window, so any disagreement would be
+exporter/numeric drift — expected agreement is exact (the same forward maps
+measured ~1e-6 latent drift in ``DECISION_PARITY.md``). k>1 additionally
+picks up the documented sequential window-composition deviation, already
+quantified there — this tool defaults to k=1. ORCED is out of scope for the
+same reason as in ``validate_import.py``: the reference's eval-time reparam
+draws come from the unseeded torch RNG (``models.py:494-496``; decision
+self-agreement floor ~0.29), so a raw decision comparison measures noise —
+the exporter's ORCED maps are round-trip-verified bit-exact per export and
+``PARITY_CRN_ORCED.md`` shows agreement 1.0 with the noise pinned.
+
+Writes EXPORT_PARITY.{json,md} at the repo root.
+"""
+
+import argparse
+import contextlib
+import json
+import os
+import shutil
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+
+from tools.decision_parity import (  # noqa: E402
+    agreement,
+    expand_windows,
+    patch_reference_constants,
+    pcaa_windows,
+)
+from tools.parity_vs_reference import (  # noqa: E402
+    TINY,
+    TRAIN_CLASSES,
+    _stub_wandb,
+    ensure_raw,
+)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/validate_export")
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--ks", type=int, nargs="+", default=[1])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=REPO)
+    args = p.parse_args()
+
+    workdir = os.path.abspath(args.workdir)
+    out_dir = os.path.abspath(args.out_dir)
+    raw_dir = os.path.join(workdir, "raw")
+    ref_dir = os.path.join(workdir, "ref")
+    ensure_raw(raw_dir)
+    if os.path.isdir(ref_dir):
+        shutil.rmtree(ref_dir)
+    os.makedirs(ref_dir)
+    gen_dir = os.path.join(ref_dir, "data", "generated_dataset")
+
+    _stub_wandb()
+    os.chdir(ref_dir)  # reference reads models/, writes figures/, data/ in cwd
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+    constants = patch_reference_constants(raw_dir, gen_dir, args.epochs)
+    n_cls = len(TRAIN_CLASSES)
+
+    from constants import SPLIT as REF_SPLIT
+    from datasets import MSRadarDataset
+
+    MSRadarDataset.generate_splits(
+        train_classes=list(TRAIN_CLASSES),
+        seed=0,
+        safe_mode=False,
+        nmax_points=constants.NMAX,
+    )
+
+    # ---------------- framework training ------------------------------------
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION, Config
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
+    from opensetgaitrecognition_pcaa_tpu.train import train_pcaa
+    from opensetgaitrecognition_pcaa_tpu.train.run_folder import (
+        load_params,
+        module_path,
+    )
+
+    name = "FWEXP_V4"
+    fw_models = os.path.join(workdir, "models_fw")
+    fw_figs = os.path.join(workdir, "figures_fw")
+    fw_cfg = Config(
+        NMAX=TINY["NMAX"],
+        NSTEPS=TINY["NSTEPS"],
+        CROP_STEP=TINY["CROP_STEP"],
+        POINTNET_OUT_DIM=TINY["POINTNET_OUT_DIM"],
+        DTC_FILTERS=tuple(TINY["DTC_FILTERS"]),
+        SUP_LATENT_DIM=TINY["SUP_LATENT_DIM"],
+        BATCH_SIZE=TINY["BATCH_SIZE"],
+        EPOCHS=args.epochs,
+        CHECKPOINT_FREQUENCY=TINY["CHECKPOINT_FREQUENCY"],
+        TRAIN_CLASSES=tuple(TRAIN_CLASSES),
+        GEN_DATA_PATH=gen_dir,
+        DATA_PATH=raw_dir,
+        MODELS_PATH=fw_models,
+        FIGURES_PATH=fw_figs,
+        MODEL_NAME=name,
+        SEED=args.seed,
+        COMPUTE_DTYPE="float32",
+    )
+    print(f"[ve] training framework V4 ({args.epochs} epochs)...")
+    train_pcaa(fw_cfg, VARIATION.V4, verbose=False, resume=False)
+
+    # ---------------- export into the reference models/ tree ----------------
+    from scripts.export_reference_run import export_reference_run
+
+    print("[ve] exporting the framework run folder...")
+    exported = export_reference_run(
+        fw_cfg.run_dir(), os.path.join(ref_dir, "models")
+    )
+
+    # attribution baseline: exported-encoder forward drift vs the framework
+    # encoder on real crops (torch vs XLA elementwise/matmul order)
+    from opensetgaitrecognition_pcaa_tpu.models import CGEncoder as FwEnc
+
+    from models import CGEncoder as RefCGEncoder
+
+    ref_enc = RefCGEncoder(
+        n_out_labels=n_cls, use_projection_head=True, nmax_points=constants.NMAX
+    ).float()
+    ref_enc.load_state_dict(
+        torch.load(os.path.join(exported, f"{name}_E.pt"), map_location="cpu")
+    )
+    ref_enc.eval()
+    enc_vars = load_params(module_path(fw_cfg.run_dir(), name, "E"))
+    fw_enc = FwEnc(
+        n_out_labels=n_cls,
+        sup_latent_dim=TINY["SUP_LATENT_DIM"],
+        pointnet_out_dim=TINY["POINTNET_OUT_DIM"],
+        dtc_filters=tuple(TINY["DTC_FILTERS"]),
+        use_projection_head=True,
+    )
+    xp = RadarCropDataset(SPLIT.TEST, gen_dir).load_all()[0][:16]
+    with torch.no_grad():
+        _, ft = ref_enc(torch.tensor(xp).permute(0, 3, 1, 2))
+    _, fj = fw_enc.apply(enc_vars, xp, train=False)
+    drift = float(np.max(np.abs(np.asarray(fj) - ft.numpy())))
+    print(f"[ve] exported-encoder max |latent drift| = {drift:.2e}")
+    assert drift < 1e-3, "exported-weights forward mismatch — mapping bug"
+
+    # ---------------- per-k decision comparison -----------------------------
+    import inference_PCAA
+
+    _orig_update = type(inference_PCAA.plt.rcParams).update
+
+    def _update_no_tex(self, other=(), **kw):
+        d = dict(other, **kw)
+        d.pop("text.usetex", None)
+        _orig_update(self, d)
+
+    inference_PCAA.plt.rcParams.update = types.MethodType(
+        _update_no_tex, inference_PCAA.plt.rcParams
+    )
+
+    rows = []
+    for k in args.ks:
+        print(f"[ve] k={k}: reference inference on the EXPORTED run...")
+        np.random.seed(10_000 + k)  # split-regeneration pad/subsample stream
+        with open(os.path.join(workdir, "ref_infer.log"), "a") as log:
+            with contextlib.redirect_stdout(log):
+                inference_PCAA.CGAAE_inference(
+                    [name], ks=[k], variation=inference_PCAA.VARIATION.V4
+                )
+        ref_preds = np.load(os.path.join(exported, f"final_preds_{k}.npy"))
+
+        # reference window composition (same process → same set-iteration
+        # order as its dataset construction)
+        ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
+        ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
+        ref_test_labels = np.array([int(l) for _, l in ref_test], np.int64)
+        ref_unseen_labels = np.array([int(l) for _, l in ref_unseen], np.int64)
+        rng = np.random.default_rng(0)
+        uniq = np.unique(ref_unseen_labels)
+        val_subjects = rng.choice(
+            uniq, size=int(np.ceil(0.2 * len(uniq))), replace=False
+        )
+        test_wins = pcaa_windows(ref_test_labels, k)
+        unseen_wins = pcaa_windows(
+            ref_unseen_labels, k, skip_first_in=set(val_subjects.tolist())
+        )
+        ref_files = [os.path.basename(f) for f in ref_test.filenames] + [
+            os.path.basename(f) for f in ref_unseen.filenames
+        ]
+        wins = test_wins + [w + len(ref_test_labels) for w in unseen_wins]
+        ref_map = expand_windows(wins, ref_preds, ref_files)
+
+        # framework inference on the ORIGINAL run, over the crops the
+        # reference's setup just regenerated
+        print(f"[ve] k={k}: framework inference on the original run...")
+        pcaa_inference(
+            [name],
+            [k],
+            models_path=fw_models,
+            figures_path=fw_figs,
+            variation=VARIATION.V4,
+            generate_dataset=False,
+        )
+        fw_preds = np.load(
+            os.path.join(fw_models, name, f"final_preds_{k}.npy")
+        )
+        fw_test = RadarCropDataset(SPLIT.TEST, gen_dir, sequential=True)
+        fw_unseen = RadarCropDataset(SPLIT.UNSEEN, gen_dir, sequential=True)
+        fw_wins = pcaa_windows(fw_test.labels, k) + [
+            w + len(fw_test.labels)
+            for w in pcaa_windows(
+                fw_unseen.labels, k, skip_first_in=set(val_subjects.tolist())
+            )
+        ]
+        fw_files = list(fw_test.filenames) + list(fw_unseen.filenames)
+        fw_map = expand_windows(fw_wins, fw_preds, fw_files)
+
+        row = dict(k=k, **agreement(fw_map, ref_map))
+        print(f"[ve] k={k}: agreement {row['agree']} over {row['n_common']}")
+        rows.append(row)
+
+    report = dict(
+        epochs=args.epochs,
+        seed=args.seed,
+        dims=TINY,
+        train_classes=list(TRAIN_CLASSES),
+        exported_encoder_max_latent_drift=drift,
+        rows=rows,
+        exported_run=exported,
+    )
+    with open(os.path.join(out_dir, "EXPORT_PARITY.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    lines = [
+        "# Exported-run inference parity (framework-trained weights)",
+        "",
+        "`tools/validate_export.py`: a framework V4 run was trained",
+        f"({args.epochs} epochs, tiny dims, seed {args.seed}), its run folder"
+        " exported",
+        "with `scripts/export_reference_run.py`, and the reference's own",
+        "`CGAAE_inference` run on the exported folder was compared per crop",
+        "against the framework's `pcaa_inference` on the original run over",
+        "the same regenerated crops.",
+        "",
+        f"Exported-encoder forward drift vs the framework encoder: max "
+        f"|latent Δ| = {drift:.2e}.",
+        "",
+        "| k | common crops | agreement |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['k']} | {r['n_common']} | {r['agree']:.4f} |")
+    lines += [
+        "",
+        "At k=1 every crop is its own voting window, so composition cannot",
+        "differ and any disagreement would be exporter drift. k>1 adds the",
+        "documented sequential window-composition deviation, quantified in",
+        "`DECISION_PARITY.md` (same-composition window agreement exactly",
+        "1.0). Together with `IMPORT_PARITY.md` (reference-trained →",
+        "framework direction, k=1 agreement 1.0) this closes the migration",
+        "loop in both directions on real trained weights. ORCED is out of",
+        "scope by design: the reference's unseeded eval reparam noise puts",
+        "its own decision self-agreement at ~0.29 — the exporter's ORCED",
+        "maps are round-trip-verified bit-exact per export and",
+        "`PARITY_CRN_ORCED.md` shows agreement 1.0 with the noise pinned.",
+        "",
+    ]
+    with open(os.path.join(out_dir, "EXPORT_PARITY.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"[ve] wrote {os.path.join(out_dir, 'EXPORT_PARITY.md')}")
+
+
+if __name__ == "__main__":
+    main()
