@@ -280,6 +280,108 @@ class TestPCAARoundTrip:
         )
 
 
+class TestVariantFolderShapes:
+    """The exporter must handle every variant's folder shape: V3 trains no
+    decoder (``PCAA_ablation.py:392-743``), V1 additionally saves the
+    (frozen) mean learner (``PCAA_ablation.py:28-378``)."""
+
+    def test_v3_shape_no_decoder(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("fw_v3"))
+        name = "EXP_V3.8.0"
+        cfg = _tiny_config(name, root)
+        run = cfg.run_dir()
+        os.makedirs(run)
+        cfg.save(os.path.join(run, "config.json"))
+        key = jax.random.PRNGKey(2)
+        enc = CGEncoder(
+            n_out_labels=NL, sup_latent_dim=LAT, pointnet_out_dim=32,
+            dtc_filters=(8, 16), use_projection_head=False,
+        )
+        enc_vars = enc.init(
+            key, jnp.zeros((2, T, N, C), jnp.float32), train=False
+        )
+        disc_vars = CGDiscriminator().init(
+            key, jnp.zeros((2, LAT), jnp.float32),
+            jnp.zeros((2, NL), jnp.float32),
+        )
+        save_params(enc_vars, module_path(run, name, "E"))
+        save_params({"params": disc_vars["params"]}, module_path(run, name, "D"))
+        means = np.zeros((NL, LAT), np.float32)
+        np.save(os.path.join(run, "discriminator_means.npy"), means)
+
+        out = str(tmp_path_factory.mktemp("ref_v3"))
+        dst = export_reference_run(run, out)
+        assert not os.path.exists(os.path.join(dst, f"{name}_G.pt"))
+        import torch
+
+        enc_sd = torch.load(
+            os.path.join(dst, f"{name}_E.pt"), map_location="cpu"
+        )
+        assert not any(k.startswith("MLP_head") for k in enc_sd)
+        back = str(tmp_path_factory.mktemp("back_v3"))
+        cfg2 = import_pcaa_run(dst, back)
+        assert_trees_bitequal(
+            load_params(module_path(cfg2.run_dir(), name, "E")),
+            {
+                "params": enc_vars["params"],
+                "batch_stats": enc_vars["batch_stats"],
+            },
+            "E",
+        )
+
+    def test_v1_shape_with_mean_learner(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("fw_v1"))
+        name = "EXP_V1.8.0"
+        cfg = _tiny_config(name, root)
+        run = cfg.run_dir()
+        os.makedirs(run)
+        cfg.save(os.path.join(run, "config.json"))
+        key = jax.random.PRNGKey(4)
+        enc = CGEncoder(
+            n_out_labels=NL, sup_latent_dim=LAT, pointnet_out_dim=32,
+            dtc_filters=(8, 16), use_projection_head=True,
+        )
+        enc_vars = enc.init(
+            key, jnp.zeros((2, T, N, C), jnp.float32), train=False
+        )
+        disc_vars = CGDiscriminator().init(
+            key, jnp.zeros((2, LAT), jnp.float32),
+            jnp.zeros((2, NL), jnp.float32),
+        )
+        ml_vars = GaussianMeanLearner(latent_dim=LAT).init(
+            key, jnp.eye(NL, dtype=jnp.float32), train=False
+        )
+        dec_vars = CGDecoder(nsteps=T, nmax_points=N, nfeatures=C).init(
+            key, jnp.zeros((2, LAT), jnp.float32)
+        )
+        save_params(enc_vars, module_path(run, name, "E"))
+        save_params({"params": disc_vars["params"]}, module_path(run, name, "D"))
+        save_params({"params": dec_vars["params"]}, module_path(run, name, "G"))
+        save_params(ml_vars, module_path(run, name, "ML"))
+        means = np.zeros((NL, LAT), np.float32)
+        np.save(os.path.join(run, "discriminator_means.npy"), means)
+
+        out = str(tmp_path_factory.mktemp("ref_v1"))
+        dst = export_reference_run(run, out)
+        assert os.path.exists(os.path.join(dst, f"{name}_ML.pt"))
+        back = str(tmp_path_factory.mktemp("back_v1"))
+        cfg2 = import_pcaa_run(dst, back)
+        rd = cfg2.run_dir()
+        assert_trees_bitequal(
+            load_params(module_path(rd, name, "ML")),
+            {
+                "params": ml_vars["params"],
+                "batch_stats": ml_vars["batch_stats"],
+            },
+            "ML",
+        )
+        assert_trees_bitequal(
+            load_params(module_path(rd, name, "G")),
+            {"params": dec_vars["params"]},
+            "G",
+        )
+
+
 class TestORCEDRoundTrip:
     def test_export_import_identity(self, fw_orced_run, tmp_path_factory):
         run, name, enc_vars, dec_vars, ml_vars = fw_orced_run
