@@ -106,7 +106,6 @@ _BASE_KEYS = (
     "NFEATURES",
     "POINTNET_OUT_DIM",
     "SUP_LATENT_DIM",
-    "DEC_MLP_SIZE",
     "LR",
     "B1",
     "B2",
@@ -151,7 +150,13 @@ def _reference_scenario_cls():
     try:
         yield standin
     finally:
-        if sys.modules.get("constants") is fake:
+        # ``mod`` may be an unrelated caller module named ``constants`` that
+        # simply lacked SCENARIO — put it back rather than deleting it (a
+        # later ``import constants`` would otherwise re-execute the module
+        # and break identity for everyone holding the original).
+        if mod is not None:
+            sys.modules["constants"] = mod
+        elif sys.modules.get("constants") is fake:
             del sys.modules["constants"]
 
 
@@ -160,6 +165,14 @@ def framework_config_to_reference(cfg: Config, kind: str, scenario_cls) -> dict:
     scalars, ``DTC_FILTERS``/``TRAIN_CLASSES`` as lists, scenarios as
     ``scenario_cls`` members)."""
     d = {k: getattr(cfg, k) for k in _BASE_KEYS}
+    # DEC_MLP_SIZE must describe the SHIPPED decoder, not the framework
+    # Config's raw field (which nothing maintains — the framework sizes its
+    # decoders off the derived ``decoder_mlp_size`` property). The reference
+    # derives it the same way (``constants.py:41``:
+    # ``DEC_MLP_SIZE = NSTEPS * NMAX * NFEATURES``), so a consumer who sets
+    # ``constants.DEC_MLP_SIZE`` from this pickle builds decoder Linears
+    # matching the exported G.pt.
+    d["DEC_MLP_SIZE"] = cfg.decoder_mlp_size
     d["DTC_FILTERS"] = list(cfg.DTC_FILTERS)
     d["TRAIN_CLASSES"] = [int(c) for c in cfg.TRAIN_CLASSES]
     d["TRAIN_SCENARIOS"] = [scenario_cls(s) for s in cfg.TRAIN_SCENARIOS]

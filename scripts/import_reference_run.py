@@ -45,15 +45,19 @@ Usage::
         --out-models models_imported [--data-path ...] [--gen-data-path ...]
 
 Model kind is auto-detected (``<NAME>_D.pt`` present → PCAA, else ORCED;
-every PCAA variant saves a discriminator, ORCED never does).
+every PCAA variant saves a discriminator, ORCED never does). ``<NAME>`` is
+config.pkl's MODEL_NAME — the reference stems every ``.pt`` off it, so a
+copied/renamed folder still detects and imports correctly.
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
 import io
 import os
 import pickle
+import shutil
 import sys
 
 import numpy as np
@@ -201,10 +205,17 @@ def _load_state_dict(path: str) -> dict:
     return {k: v for k, v in sd.items()}
 
 
-def _assert_roundtrip(original_sd: dict, rebuilt_sd: dict, tag: str) -> None:
+def _assert_roundtrip(
+    original_sd: dict, rebuilt_sd: dict, tag: str, allowed_extra: tuple = ()
+) -> None:
     """Every tensor the forward map emits must match the loaded state_dict
-    bit-for-bit (``num_batches_tracked`` excepted — the forward map writes a
-    fresh 0, the trained value is irrelevant to eval math)."""
+    bit-for-bit, and — the other direction — every loaded entry must be
+    covered by the map, so a checkpoint from a modified reference with extra
+    layers is refused instead of silently truncated. ``num_batches_tracked``
+    is exempt (the forward map writes a fresh 0; the trained value is
+    irrelevant to eval math); ``allowed_extra`` lists key prefixes the
+    checkpoint legitimately carries beyond the map (the reference decoders'
+    forward-unused ``bn1..4`` modules, ``models.py:353-368,513-528``)."""
     for k, v in rebuilt_sd.items():
         if k.endswith("num_batches_tracked"):
             continue
@@ -215,6 +226,18 @@ def _assert_roundtrip(original_sd: dict, rebuilt_sd: dict, tag: str) -> None:
                 f"{tag}: round-trip mismatch at {k} "
                 f"(max |delta| {np.max(np.abs(a - b)):.3e})"
             )
+    extra = sorted(
+        k
+        for k in original_sd
+        if k not in rebuilt_sd
+        and not k.endswith("num_batches_tracked")
+        and not any(k.startswith(p) for p in allowed_extra)
+    )
+    if extra:
+        raise ValueError(
+            f"{tag}: checkpoint carries entries the reference module does "
+            f"not declare ({extra}) — not a reference {tag} state_dict"
+        )
 
 
 def _head_roundtrip(original_sd: dict, params: dict, tag: str) -> None:
@@ -226,6 +249,12 @@ def _head_roundtrip(original_sd: dict, params: dict, tag: str) -> None:
     layer_keys = sorted(
         {k.split(".")[0] for k in original_sd if k.endswith(".weight")}, key=int
     )
+    if len(layer_keys) != len(params):
+        raise ValueError(
+            f"{tag}: checkpoint declares {len(layer_keys)} Linear layers, the "
+            f"converted head holds {len(params)} — not a reference {tag} "
+            "state_dict"
+        )
     for i, dense in enumerate(sorted(params, key=lambda s: int(s.split("_")[1]))):
         li = layer_keys[i]
         rebuilt[f"{li}.weight"] = torch.tensor(
@@ -235,6 +264,27 @@ def _head_roundtrip(original_sd: dict, params: dict, tag: str) -> None:
             np.asarray(params[dense]["bias"], dtype=np.float32)
         )
     _assert_roundtrip(original_sd, rebuilt, tag)
+
+
+@contextlib.contextmanager
+def _staged_run_dir(final_dir: str):
+    """Build the run folder in a sibling staging dir and promote it only on
+    full success — a refused import must not leave a half-valid run folder
+    behind (anything holding a ``config.json`` reads as a run to the grid
+    drivers and result collectors). On failure the stage is removed and a
+    pre-existing ``final_dir`` is left untouched; on success it is replaced
+    atomically-enough (rmtree + rename on one filesystem)."""
+    stage = final_dir + ".importing"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    try:
+        yield stage
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(stage, final_dir)
 
 
 def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Config:
@@ -247,10 +297,15 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
     name = cfg.MODEL_NAME or os.path.basename(os.path.normpath(ref_run_dir))
     if not cfg.MODEL_NAME:
         cfg = cfg.replace(MODEL_NAME=name)
-    run_dir = cfg.run_dir()
-    os.makedirs(run_dir, exist_ok=True)
-    cfg.save(os.path.join(run_dir, "config.json"))
+    with _staged_run_dir(cfg.run_dir()) as run_dir:
+        cfg.save(os.path.join(run_dir, "config.json"))
+        _write_pcaa_modules(ref_run_dir, cfg, name, run_dir)
+    return cfg
 
+
+def _write_pcaa_modules(
+    ref_run_dir: str, cfg: Config, name: str, run_dir: str
+) -> None:
     def _pt(tag):
         return os.path.join(ref_run_dir, f"{name}_{tag}.pt")
 
@@ -306,6 +361,7 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
                 {"params": dec_params}, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
             ),
             "G",
+            allowed_extra=("bn1.", "bn2.", "bn3.", "bn4."),
         )
         dec_mod = CGDecoder(
             nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
@@ -382,7 +438,6 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
             f"config-declared ({n}, {latent})"
         )
     np.save(os.path.join(run_dir, "discriminator_means.npy"), means)
-    return cfg
 
 
 def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Config:
@@ -396,10 +451,15 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
     name = cfg.MODEL_NAME or os.path.basename(os.path.normpath(ref_run_dir))
     if not cfg.MODEL_NAME:
         cfg = cfg.replace(MODEL_NAME=name)
-    run_dir = cfg.run_dir()
-    os.makedirs(run_dir, exist_ok=True)
-    cfg.save(os.path.join(run_dir, "config.json"))
+    with _staged_run_dir(cfg.run_dir()) as run_dir:
+        cfg.save(os.path.join(run_dir, "config.json"))
+        _write_orced_modules(ref_run_dir, cfg, name, run_dir)
+    return cfg
 
+
+def _write_orced_modules(
+    ref_run_dir: str, cfg: Config, name: str, run_dir: str
+) -> None:
     n, latent = cfg.n_classes, cfg.SUP_LATENT_DIM
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES), jnp.float32)
@@ -431,6 +491,7 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
             {"params": dec_params}, cfg.NSTEPS, cfg.NMAX, cfg.NFEATURES
         ),
         "G",
+        allowed_extra=("bn1.", "bn2.", "bn3.", "bn4."),
     )
     dec_mod = ORCEDDecoder(
         nsteps=cfg.NSTEPS, nmax_points=cfg.NMAX, nfeatures=cfg.NFEATURES
@@ -458,14 +519,31 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
         "ML",
     )
     save_params(ml_vars, module_path(run_dir, name, "ML"))
-    return cfg
+
+
+def _run_name(ref_run_dir: str) -> str:
+    """The run's checkpoint-stem name — config.pkl's MODEL_NAME, not the
+    folder basename: the reference stems every ``.pt`` off MODEL_NAME, so a
+    copied/renamed folder still carries correctly-named files inside."""
+    ref_cfg = load_reference_config(os.path.join(ref_run_dir, "config.pkl"))
+    name = ref_cfg.get("MODEL_NAME") or os.path.basename(
+        os.path.normpath(ref_run_dir)
+    )
+    if not os.path.exists(os.path.join(ref_run_dir, f"{name}_E.pt")):
+        raise FileNotFoundError(
+            f"{ref_run_dir} holds no {name}_E.pt — config.pkl declares "
+            f"MODEL_NAME={name!r} but the folder's checkpoints do not "
+            "follow that stem (mixed-up folder?)"
+        )
+    return name
 
 
 def detect_kind(ref_run_dir: str) -> str:
     """'pcaa' iff the run saved a discriminator — every PCAA variant does
     (``PCAA_ablation.py:1094-1119``, ``train_AAE.py:340-360``), ORCED never
-    (``train_ORCED.py:255-276``)."""
-    name = os.path.basename(os.path.normpath(ref_run_dir))
+    (``train_ORCED.py:255-276``). Keyed off config.pkl's MODEL_NAME (file
+    stems follow it even in a renamed folder)."""
+    name = _run_name(ref_run_dir)
     return "pcaa" if os.path.exists(os.path.join(ref_run_dir, f"{name}_D.pt")) else "orced"
 
 

@@ -202,6 +202,47 @@ class TestConfigExport:
         with pytest.raises(ValueError, match="does not match"):
             export_reference_run(renamed, str(tmp_path / "out"))
 
+    def test_dec_mlp_size_derived_not_stale_field(self, fw_pcaa_run, tmp_path):
+        """DEC_MLP_SIZE in config.pkl must describe the SHIPPED decoder.
+
+        Framework runs never maintain the raw ``Config.DEC_MLP_SIZE`` field
+        (decoders size off the derived ``decoder_mlp_size`` property), so a
+        non-default-dims run usually carries the stale full-size default.
+        The reference derives it as ``NSTEPS * NMAX * NFEATURES``
+        (``constants.py:41``) and its ORCEDDecoder builds Linears straight
+        from ``constants.DEC_MLP_SIZE`` (``models.py:506-545``) — exporting
+        the stale field would make a consumer's strict ``load_state_dict``
+        fail against the exported G.pt."""
+        import shutil
+
+        run, name = fw_pcaa_run[:2]
+        stale = os.path.join(str(tmp_path), name)
+        shutil.copytree(run, stale)
+        cfg = Config.load(os.path.join(stale, "config.json"))
+        cfg = cfg.replace(DEC_MLP_SIZE=Config().DEC_MLP_SIZE)  # untouched default
+        assert cfg.DEC_MLP_SIZE != cfg.decoder_mlp_size
+        cfg.save(os.path.join(stale, "config.json"))
+        dst = export_reference_run(stale, str(tmp_path / "out"))
+        ref_cfg = load_reference_config(os.path.join(dst, "config.pkl"))
+        assert ref_cfg["DEC_MLP_SIZE"] == T * N * C
+
+    def test_preexisting_constants_module_restored(self, fw_pcaa_run, tmp_path):
+        """An unrelated caller module named ``constants`` (without SCENARIO)
+        must survive the pickling stand-in — clobber-and-delete would break
+        module identity for everyone holding the original."""
+        import types
+
+        run = fw_pcaa_run[0]
+        assert "constants" not in sys.modules
+        caller_mod = types.ModuleType("constants")
+        caller_mod.SOME_FLAG = 42
+        sys.modules["constants"] = caller_mod
+        try:
+            export_reference_run(run, str(tmp_path))
+            assert sys.modules.get("constants") is caller_mod
+        finally:
+            sys.modules.pop("constants", None)
+
 
 class TestPCAARoundTrip:
     @pytest.fixture(scope="class")
@@ -351,11 +392,19 @@ class TestVariantFolderShapes:
         ml_vars = GaussianMeanLearner(latent_dim=LAT).init(
             key, jnp.eye(NL, dtype=jnp.float32), train=False
         )
-        dec_vars = CGDecoder(nsteps=T, nmax_points=N, nfeatures=C).init(
+        # Real V1 folders always carry a GPH next to the ML, and the decoder
+        # reads the GPH's 2*latent projection (PCAA_ablation.py:28-378 —
+        # V1 shares V4's generator-head wiring) — exercise that exact
+        # combination, not a headless latent-input decoder no variant saves.
+        gph_vars = ProjectionHead(2 * LAT).init(
             key, jnp.zeros((2, LAT), jnp.float32)
+        )
+        dec_vars = CGDecoder(nsteps=T, nmax_points=N, nfeatures=C).init(
+            key, jnp.zeros((2, 2 * LAT), jnp.float32)
         )
         save_params(enc_vars, module_path(run, name, "E"))
         save_params({"params": disc_vars["params"]}, module_path(run, name, "D"))
+        save_params({"params": gph_vars["params"]}, module_path(run, name, "GPH"))
         save_params({"params": dec_vars["params"]}, module_path(run, name, "G"))
         save_params(ml_vars, module_path(run, name, "ML"))
         means = np.zeros((NL, LAT), np.float32)

@@ -368,6 +368,93 @@ class TestImportGuards:
         out = str(tmp_path_factory.mktemp("fw_broken"))
         with pytest.raises(KeyError):
             import_pcaa_run(str(broken), out)
+        # ...and "fail loudly" includes leaving no half-valid run folder —
+        # anything holding a config.json reads as a run to the grid drivers
+        # and result collectors.
+        assert os.listdir(out) == []
+
+    def test_extra_checkpoint_keys_refused(
+        self, fake_pcaa_ref_run, tmp_path_factory
+    ):
+        """A state_dict with entries the reference module does not declare
+        (extra layers from a modified reference) must be refused, not
+        silently truncated to the keys the map knows."""
+        import shutil
+
+        import torch
+
+        run, name = fake_pcaa_ref_run[:2]
+        broken = tmp_path_factory.mktemp("extra") / name
+        shutil.copytree(run, broken)
+        sd = torch.load(
+            os.path.join(broken, f"{name}_E.pt"), map_location="cpu"
+        )
+        sd["MLP_extra.0.weight"] = torch.zeros(3, 3)
+        torch.save(sd, os.path.join(broken, f"{name}_E.pt"))
+        out = str(tmp_path_factory.mktemp("fw_extra"))
+        with pytest.raises(ValueError, match="does not declare"):
+            import_pcaa_run(str(broken), out)
+        assert os.listdir(out) == []
+
+    def test_extra_head_layers_refused(
+        self, fake_pcaa_ref_run, tmp_path_factory
+    ):
+        """The inline head round-trip must count layers both ways — an extra
+        Linear in D.pt previously dropped silently."""
+        import shutil
+
+        import torch
+
+        run, name = fake_pcaa_ref_run[:2]
+        broken = tmp_path_factory.mktemp("extra_head") / name
+        shutil.copytree(run, broken)
+        sd = torch.load(
+            os.path.join(broken, f"{name}_D.pt"), map_location="cpu"
+        )
+        sd["model.6.weight"] = torch.zeros(1, 1)
+        sd["model.6.bias"] = torch.zeros(1)
+        torch.save(sd, os.path.join(broken, f"{name}_D.pt"))
+        out = str(tmp_path_factory.mktemp("fw_extra_head"))
+        with pytest.raises(ValueError, match="Linear layers"):
+            import_pcaa_run(str(broken), out)
+        assert os.listdir(out) == []
+
+    def test_renamed_folder_detects_and_imports(
+        self, fake_pcaa_ref_run, tmp_path_factory
+    ):
+        """Kind detection and module loading key off config.pkl's MODEL_NAME
+        (the reference stems every .pt off it), so a copied/renamed folder
+        still imports — it must not silently mis-detect as ORCED."""
+        import shutil
+
+        run, name, enc_vars = fake_pcaa_ref_run[:3]
+        renamed = tmp_path_factory.mktemp("renamed") / "backup"
+        shutil.copytree(run, renamed)
+        assert detect_kind(str(renamed)) == "pcaa"
+        out = str(tmp_path_factory.mktemp("fw_renamed"))
+        cfg = import_pcaa_run(str(renamed), out)
+        assert cfg.MODEL_NAME == name
+        assert_trees_bitequal(
+            load_params(module_path(cfg.run_dir(), name, "E")), enc_vars, "E"
+        )
+
+    def test_checkpoint_stem_mismatch_named(
+        self, fake_pcaa_ref_run, tmp_path_factory
+    ):
+        """A folder whose .pt stems do not follow config.pkl's MODEL_NAME is
+        a mixed-up folder — refused with the mismatch spelled out instead of
+        an opaque downstream KeyError."""
+        import shutil
+
+        run, name = fake_pcaa_ref_run[:2]
+        mixed = tmp_path_factory.mktemp("mixed") / name
+        shutil.copytree(run, mixed)
+        os.rename(
+            os.path.join(mixed, f"{name}_E.pt"),
+            os.path.join(mixed, "OTHER_E.pt"),
+        )
+        with pytest.raises(FileNotFoundError, match="MODEL_NAME"):
+            detect_kind(str(mixed))
 
     def test_dead_reference_dph_skipped(
         self, fake_pcaa_ref_run, tmp_path_factory, capsys
