@@ -132,6 +132,62 @@ def expand_windows(windows, preds, filenames):
     return out
 
 
+def strip_usetex(rcparams) -> None:
+    """No LaTeX in this image: keep the reference's plotting calls but strip
+    ``text.usetex`` from every ``rcParams.update`` (``inference_PCAA.py``
+    sets it unconditionally). Patch once per rcParams instance; shared by
+    every harness that drives the reference's inference in-process."""
+    orig = type(rcparams).update
+
+    def _update_no_tex(rc_self, other=(), **kw):
+        d = dict(other, **kw)
+        d.pop("text.usetex", None)
+        orig(rc_self, d)
+
+    rcparams.update = types.MethodType(_update_no_tex, rcparams)
+
+
+def reference_pcaa_window_map(ref_test, ref_unseen, preds, k):
+    """Reconstruct the reference's sequential TEST+UNSEEN window composition
+    and map each member crop to its window decision.
+
+    ``ref_test``/``ref_unseen`` are the reference's own ``MSRadarDataset``
+    instances built in the SAME process as its inference (same set-iteration
+    order); the seed-0 val-subject draw replays ``inference_PCAA.py``'s
+    unseen threshold-validation split. Returns ``(crop→decision map,
+    val_subjects)``."""
+    ref_test_labels = np.array([int(lab) for _, lab in ref_test], np.int64)
+    ref_unseen_labels = np.array([int(lab) for _, lab in ref_unseen], np.int64)
+    rng = np.random.default_rng(0)
+    uniq = np.unique(ref_unseen_labels)
+    val_subjects = rng.choice(
+        uniq, size=int(np.ceil(0.2 * len(uniq))), replace=False
+    )
+    wins = pcaa_windows(ref_test_labels, k) + [
+        w + len(ref_test_labels)
+        for w in pcaa_windows(
+            ref_unseen_labels, k, skip_first_in=set(val_subjects.tolist())
+        )
+    ]
+    files = [os.path.basename(f) for f in ref_test.filenames] + [
+        os.path.basename(f) for f in ref_unseen.filenames
+    ]
+    return expand_windows(wins, preds, files), val_subjects
+
+
+def framework_pcaa_window_map(fw_test, fw_unseen, preds, k, val_subjects):
+    """The framework-side counterpart over ``RadarCropDataset`` instances,
+    using the SAME val-subject draw as the reference side."""
+    wins = pcaa_windows(fw_test.labels, k) + [
+        w + len(fw_test.labels)
+        for w in pcaa_windows(
+            fw_unseen.labels, k, skip_first_in=set(val_subjects.tolist())
+        )
+    ]
+    files = list(fw_test.filenames) + list(fw_unseen.filenames)
+    return expand_windows(wins, preds, files)
+
+
 def agreement(map_a, map_b):
     common = sorted(set(map_a) & set(map_b))
     if not common:
@@ -289,16 +345,7 @@ def main():
     # ---------------- PCAA per-k decision comparison ------------------------
     import inference_PCAA
 
-    _orig_update = type(inference_PCAA.plt.rcParams).update
-
-    def _update_no_tex(self, other=(), **kw):
-        d = dict(other, **kw)
-        d.pop("text.usetex", None)
-        _orig_update(self, d)
-
-    inference_PCAA.plt.rcParams.update = types.MethodType(
-        _update_no_tex, inference_PCAA.plt.rcParams
-    )
+    strip_usetex(inference_PCAA.plt.rcParams)
 
     from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
     from opensetgaitrecognition_pcaa_tpu.infer.pcaa import (
@@ -329,32 +376,12 @@ def main():
         # ordering (same process → same str-hash set-iteration order)
         ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
         ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
-        ref_test_labels = np.array(
-            [int(lab) for _, lab in ref_test], dtype=np.int64
+        ref_map, val_subjects = reference_pcaa_window_map(
+            ref_test, ref_unseen, ref_preds, k
         )
-        ref_unseen_labels = np.array(
-            [int(lab) for _, lab in ref_unseen], dtype=np.int64
-        )
-        rng = np.random.default_rng(0)
-        uniq = np.unique(ref_unseen_labels)
-        val_subjects = rng.choice(
-            uniq, size=int(np.ceil(0.2 * len(uniq))), replace=False
-        )
-        ref_wins = pcaa_windows(ref_test_labels, k) + [
-            w + 0  # unseen windows indexed into the unseen split
-            for w in pcaa_windows(
-                ref_unseen_labels, k, skip_first_in=set(val_subjects.tolist())
-            )
-        ]
-        n_test_wins = len(pcaa_windows(ref_test_labels, k))
         ref_files = [os.path.basename(f) for f in ref_test.filenames] + [
             os.path.basename(f) for f in ref_unseen.filenames
-        ]
-        # shift unseen member indices into the concatenated file list
-        shifted = []
-        for i, w in enumerate(ref_wins):
-            shifted.append(w if i < n_test_wins else w + len(ref_test_labels))
-        ref_map = expand_windows(shifted, ref_preds, ref_files)
+        ]  # reused below to reindex framework scores into reference order
 
         # framework inference on the SAME regenerated crops
         print(f"[dp] PCAA k={k}: framework inference...")
@@ -371,14 +398,10 @@ def main():
         )
         fw_test = RadarCropDataset(SPLIT.TEST, gen_dir, sequential=True)
         fw_unseen = RadarCropDataset(SPLIT.UNSEEN, gen_dir, sequential=True)
-        fw_wins = pcaa_windows(fw_test.labels, k) + [
-            w + len(fw_test.labels)
-            for w in pcaa_windows(
-                fw_unseen.labels, k, skip_first_in=set(val_subjects.tolist())
-            )
-        ]
         fw_files = list(fw_test.filenames) + list(fw_unseen.filenames)
-        fw_map = expand_windows(fw_wins, fw_preds, fw_files)
+        fw_map = framework_pcaa_window_map(
+            fw_test, fw_unseen, fw_preds, k, val_subjects
+        )
 
         headline = agreement(fw_map, ref_map)
 

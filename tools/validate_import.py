@@ -40,7 +40,6 @@ import json
 import os
 import shutil
 import sys
-import types
 
 import numpy as np
 
@@ -50,9 +49,10 @@ sys.path.insert(0, REPO)
 
 from tools.decision_parity import (  # noqa: E402
     agreement,
-    expand_windows,
+    framework_pcaa_window_map,
     patch_reference_constants,
-    pcaa_windows,
+    reference_pcaa_window_map,
+    strip_usetex,
 )
 from tools.parity_vs_reference import (  # noqa: E402
     TINY,
@@ -162,16 +162,7 @@ def main():
     # ---------------- per-k decision comparison ----------------------------
     import inference_PCAA
 
-    _orig_update = type(inference_PCAA.plt.rcParams).update
-
-    def _update_no_tex(self, other=(), **kw):
-        d = dict(other, **kw)
-        d.pop("text.usetex", None)
-        _orig_update(self, d)
-
-    inference_PCAA.plt.rcParams.update = types.MethodType(
-        _update_no_tex, inference_PCAA.plt.rcParams
-    )
+    strip_usetex(inference_PCAA.plt.rcParams)
 
     rows = []
     for k in args.ks:
@@ -188,22 +179,9 @@ def main():
         # order as its dataset construction)
         ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
         ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
-        ref_test_labels = np.array([int(l) for _, l in ref_test], np.int64)
-        ref_unseen_labels = np.array([int(l) for _, l in ref_unseen], np.int64)
-        rng = np.random.default_rng(0)
-        uniq = np.unique(ref_unseen_labels)
-        val_subjects = rng.choice(
-            uniq, size=int(np.ceil(0.2 * len(uniq))), replace=False
+        ref_map, val_subjects = reference_pcaa_window_map(
+            ref_test, ref_unseen, ref_preds, k
         )
-        test_wins = pcaa_windows(ref_test_labels, k)
-        unseen_wins = pcaa_windows(
-            ref_unseen_labels, k, skip_first_in=set(val_subjects.tolist())
-        )
-        ref_files = [os.path.basename(f) for f in ref_test.filenames] + [
-            os.path.basename(f) for f in ref_unseen.filenames
-        ]
-        wins = test_wins + [w + len(ref_test_labels) for w in unseen_wins]
-        ref_map = expand_windows(wins, ref_preds, ref_files)
 
         # framework inference on the imported run, over the crops the
         # reference's setup just regenerated
@@ -221,14 +199,9 @@ def main():
         )
         fw_test = RadarCropDataset(SPLIT.TEST, gen_dir, sequential=True)
         fw_unseen = RadarCropDataset(SPLIT.UNSEEN, gen_dir, sequential=True)
-        fw_wins = pcaa_windows(fw_test.labels, k) + [
-            w + len(fw_test.labels)
-            for w in pcaa_windows(
-                fw_unseen.labels, k, skip_first_in=set(val_subjects.tolist())
-            )
-        ]
-        fw_files = list(fw_test.filenames) + list(fw_unseen.filenames)
-        fw_map = expand_windows(fw_wins, fw_preds, fw_files)
+        fw_map = framework_pcaa_window_map(
+            fw_test, fw_unseen, fw_preds, k, val_subjects
+        )
 
         row = dict(k=k, **agreement(fw_map, ref_map))
         print(f"[vi] k={k}: agreement {row['agree']} over {row['n_common']}")
