@@ -155,7 +155,9 @@ def reference_pcaa_window_map(ref_test, ref_unseen, preds, k):
     instances built in the SAME process as its inference (same set-iteration
     order); the seed-0 val-subject draw replays ``inference_PCAA.py``'s
     unseen threshold-validation split. Returns ``(crop→decision map,
-    val_subjects)``."""
+    val_subjects, windows, n_test_windows, ref_test_labels)`` — the window
+    list (member indices into the concatenated test+unseen order) and the
+    test-window count feed the same-composition re-vote attribution."""
     ref_test_labels = np.array([int(lab) for _, lab in ref_test], np.int64)
     ref_unseen_labels = np.array([int(lab) for _, lab in ref_unseen], np.int64)
     rng = np.random.default_rng(0)
@@ -163,7 +165,8 @@ def reference_pcaa_window_map(ref_test, ref_unseen, preds, k):
     val_subjects = rng.choice(
         uniq, size=int(np.ceil(0.2 * len(uniq))), replace=False
     )
-    wins = pcaa_windows(ref_test_labels, k) + [
+    test_wins = pcaa_windows(ref_test_labels, k)
+    wins = test_wins + [
         w + len(ref_test_labels)
         for w in pcaa_windows(
             ref_unseen_labels, k, skip_first_in=set(val_subjects.tolist())
@@ -172,7 +175,13 @@ def reference_pcaa_window_map(ref_test, ref_unseen, preds, k):
     files = [os.path.basename(f) for f in ref_test.filenames] + [
         os.path.basename(f) for f in ref_unseen.filenames
     ]
-    return expand_windows(wins, preds, files), val_subjects
+    return (
+        expand_windows(wins, preds, files),
+        val_subjects,
+        wins,
+        len(test_wins),
+        ref_test_labels,
+    )
 
 
 def framework_pcaa_window_map(fw_test, fw_unseen, preds, k, val_subjects):
@@ -376,9 +385,13 @@ def main():
         # ordering (same process → same str-hash set-iteration order)
         ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
         ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
-        ref_map, val_subjects = reference_pcaa_window_map(
-            ref_test, ref_unseen, ref_preds, k
-        )
+        (
+            ref_map,
+            val_subjects,
+            ref_wins,
+            n_test_wins,
+            ref_test_labels,
+        ) = reference_pcaa_window_map(ref_test, ref_unseen, ref_preds, k)
         ref_files = [os.path.basename(f) for f in ref_test.filenames] + [
             os.path.basename(f) for f in ref_unseen.filenames
         ]  # reused below to reindex framework scores into reference order
@@ -429,13 +442,13 @@ def main():
         lab_r = np.concatenate([fw_test.labels, fw_unseen.labels])[order]
         n_labels = fw_test.n_classes
         revote = []
-        for w in shifted:
+        for w in ref_wins:
             n_above = int(np.sum(ll_r[w] > thr))
             if n_above > k / 2:
                 revote.append(int(np.argmax(np.bincount(pred_r[w]))))
             else:
                 revote.append(n_labels)
-        assert [int(lab_r[w[0]]) for w in shifted[:n_test_wins]] == [
+        assert [int(lab_r[w[0]]) for w in ref_wins[:n_test_wins]] == [
             int(ref_test_labels[w[0]]) for w in ref_wins[:n_test_wins]
         ], "window reconstruction misaligned with the reference order"
         revote = np.array(revote)

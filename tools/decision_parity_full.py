@@ -1,0 +1,666 @@
+#!/usr/bin/env python
+"""Shared-weights decision parity at the PUBLISHED reference dimensions.
+
+Round-3 verdict item 1: every decision-level parity rung so far ran at
+reduced dims (NMAX=48/NSTEPS=12). This tool closes that gap at the
+configuration the paper actually publishes (``/root/reference/constants.py:
+29-55``: NMAX=150, NSTEPS=30, CROP_STEP=6, POINTNET_OUT_DIM=1024,
+DTC_FILTERS=[16..512], SUP_LATENT_DIM=32, EPOCHS=50):
+
+1. ``--phase train`` (TPU): generate a synthetic raw set + full-dims splits,
+   train one PCAA V4 and one ORCED run with the bench fast config
+   (bf16 compute + BF16_ADAM_NU + BF16_WEIGHT_CACHE) on the TPU, and export
+   both to reference-format torch run folders
+   (``scripts/export_reference_run.py``).
+2. ``--phase compare`` (CPU): run the reference's ACTUAL ``CGAAE_inference``
+   / ``ORCED_inference`` (``inference_PCAA.py:382-469``,
+   ``inference_ORCED.py:257-456``) on the exported folders, the framework's
+   ``pcaa_inference`` / ``orced_inference`` on the SAME regenerated crops,
+   and join decisions per crop exactly as ``tools/decision_parity.py`` does.
+   ORCED pins the reference's eval-time reparametrization noise by recording
+   every ``torch.randn_like`` draw (``models.py:494-496``) and replaying it
+   through ``orced_inference(eps_streams=..., crop_order=...)`` — the
+   pipelines are compared directly instead of against the reference's
+   ~0.29 sampling-noise floor.
+3. After each CPU comparison, a TPU subprocess (``--phase tpu-pcaa`` /
+   ``--phase tpu-orced``) re-runs the framework inference on the very same
+   on-disk crops through the TPU fast path (fused Pallas eval encoder +
+   on-device scoring, ``infer/fast_encoder.py``) — the paths that only
+   engage at these dims — and compares against the same reference decisions.
+
+``--phase all`` orchestrates train → compare as subprocesses (the train
+phase needs the TPU platform, the compare phase forces jax to CPU).
+
+Writes ``DECISION_PARITY_FULL.json`` and splices a "Full reference dims"
+section into ``DECISION_PARITY.md``.
+"""
+
+import argparse
+import contextlib
+import json
+import os
+import pickle
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from tools.decision_parity import (  # noqa: E402
+    agreement,
+    framework_pcaa_window_map,
+    reference_pcaa_window_map,
+    strip_usetex,
+)
+from tools.parity_vs_reference import (  # noqa: E402
+    TRAIN_CLASSES,
+    _shim_hardcoded_cuda,
+    _stub_wandb,
+)
+
+PCAA_NAME = "FWFULL_V4"
+ORCED_NAME = "FWFULL_ORCED"
+LATENT = 32  # the reference hardcodes cov=np.eye(32) (inference_PCAA.py:133)
+ORCED_BS = 64  # inference_ORCED.py:262
+
+
+def paths(workdir):
+    workdir = os.path.abspath(workdir)
+    return dict(
+        workdir=workdir,
+        raw_dir=os.path.join(workdir, "raw_full"),
+        ref_dir=os.path.join(workdir, "ref"),
+        gen_dir=os.path.join(workdir, "ref", "data", "generated_dataset"),
+        fw_models=os.path.join(workdir, "models_fw"),
+        fw_figs=os.path.join(workdir, "figures_fw"),
+        state_pcaa=os.path.join(workdir, "state_pcaa.pkl"),
+        state_orced=os.path.join(workdir, "state_orced.pkl"),
+        tpu_pcaa=os.path.join(workdir, "tpu_pcaa.json"),
+        tpu_orced=os.path.join(workdir, "tpu_orced.json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase: train (runs on the TPU — default platform)
+# ---------------------------------------------------------------------------
+
+
+def phase_train(args):
+    P = paths(args.workdir)
+    os.makedirs(P["workdir"], exist_ok=True)
+
+    from opensetgaitrecognition_pcaa_tpu.config import VARIATION, Config
+    from opensetgaitrecognition_pcaa_tpu.data.splits import generate_splits
+    from opensetgaitrecognition_pcaa_tpu.data.synthetic import (
+        generate_synthetic_raw_dataset,
+    )
+    from opensetgaitrecognition_pcaa_tpu.train import train_orced, train_pcaa
+    from scripts.export_reference_run import export_reference_run
+
+    if not (os.path.isdir(P["raw_dir"]) and os.listdir(P["raw_dir"])):
+        # longer tracks than the reduced-dims harnesses: NSTEPS=30/CROP_STEP=6
+        # needs 60-100-frame tracks for a healthy 6-12 crops per track
+        generate_synthetic_raw_dataset(
+            P["raw_dir"],
+            n_subjects=10,
+            tracks_per_scenario=10,
+            frames_per_track=(60, 100),
+            seed=42,
+        )
+
+    cfg = Config(  # full published dims are the Config defaults
+        EPOCHS=args.epochs,
+        TRAIN_CLASSES=tuple(TRAIN_CLASSES),
+        DATA_PATH=P["raw_dir"],
+        GEN_DATA_PATH=P["gen_dir"],
+        MODELS_PATH=P["fw_models"],
+        FIGURES_PATH=P["fw_figs"],
+        MODEL_NAME=PCAA_NAME,
+        SEED=args.seed,
+        COMPUTE_DTYPE="bfloat16",
+        BF16_ADAM_NU=True,
+        BF16_WEIGHT_CACHE=True,
+    )
+
+    done = all(
+        os.path.isdir(os.path.join(P["fw_models"], n))
+        for n in (PCAA_NAME, ORCED_NAME)
+    )
+    wall = {}
+    if args.skip_train and done:
+        print("[full] --skip-train: reusing existing trained runs")
+    else:
+        print("[full] generating full-dims splits...")
+        generate_splits(
+            data_path=P["raw_dir"],
+            gen_data_path=P["gen_dir"],
+            train_classes=list(TRAIN_CLASSES),
+            seed=0,
+            nmax_points=cfg.NMAX,
+            nsteps=cfg.NSTEPS,
+            crop_step=cfg.CROP_STEP,
+            verbose=False,
+        )
+        print(f"[full] training {PCAA_NAME} ({args.epochs} epochs, TPU bench config)...")
+        t0 = time.time()
+        train_pcaa(cfg, VARIATION.V4, verbose=True, resume=False)
+        wall["pcaa_train_s"] = time.time() - t0
+        print(f"[full] {PCAA_NAME} trained in {wall['pcaa_train_s']:.1f}s")
+        t0 = time.time()
+        print(f"[full] training {ORCED_NAME}...")
+        train_orced(cfg.replace(MODEL_NAME=ORCED_NAME), verbose=True, resume=False)
+        wall["orced_train_s"] = time.time() - t0
+        print(f"[full] {ORCED_NAME} trained in {wall['orced_train_s']:.1f}s")
+
+    ref_models = os.path.join(P["ref_dir"], "models")
+    os.makedirs(ref_models, exist_ok=True)
+    for name in (PCAA_NAME, ORCED_NAME):
+        export_reference_run(os.path.join(P["fw_models"], name), ref_models)
+    with open(os.path.join(P["workdir"], "train_wall.json"), "w") as f:
+        json.dump(wall, f)
+    print("[full] train phase done")
+
+
+# ---------------------------------------------------------------------------
+# phase: compare (forces jax to CPU; drives the torch reference in-process)
+# ---------------------------------------------------------------------------
+
+
+def patch_constants_fulldims(P):
+    """Point the reference at the workdir; dims stay the PUBLISHED defaults."""
+    import constants
+
+    constants.DATA_PATH = P["raw_dir"]
+    constants.GEN_DATA_PATH = P["gen_dir"]
+    constants.TRAIN_CLASSES = list(TRAIN_CLASSES)
+    constants.WANDB_MODE = "disabled"
+    for key in list(constants.CONFIG):
+        if hasattr(constants, key):
+            constants.CONFIG[key] = getattr(constants, key)
+    return constants
+
+
+def spawn_tpu_phase(phase, workdir):
+    """Run a --phase tpu-* subprocess on the default (TPU) platform; the
+    parent stays blocked (idle) so the child owns the 1 CPU core during its
+    XLA compile (ops-hygiene note in CLAUDE.md)."""
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--phase",
+        phase,
+        "--workdir",
+        workdir,
+    ]
+    print(f"[full] spawning TPU subprocess: {phase}...")
+    r = subprocess.run(cmd, cwd=REPO)
+    if r.returncode != 0:
+        print(f"[full] WARNING: {phase} subprocess failed (rc={r.returncode})")
+    return r.returncode == 0
+
+
+def phase_compare(args):
+    P = paths(args.workdir)
+    _stub_wandb()
+    os.chdir(P["ref_dir"])  # reference reads models/ figures/ relative to cwd
+    sys.path.insert(0, REFERENCE)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
+    patch_constants_fulldims(P)
+
+    from constants import SPLIT as REF_SPLIT
+    from datasets import MSRadarDataset
+
+    from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.infer import (
+        orced_inference,
+        pcaa_inference,
+    )
+
+    report = {
+        "dims": dict(NMAX=150, NSTEPS=30, CROP_STEP=6, POINTNET_OUT_DIM=1024,
+                     DTC_FILTERS=[16, 32, 64, 128, 256, 512],
+                     SUP_LATENT_DIM=32),
+        "epochs": args.epochs,
+        "seed": args.seed,
+        "ks": args.ks,
+        "train_classes": list(TRAIN_CLASSES),
+    }
+    if os.path.isfile(os.path.join(P["workdir"], "train_wall.json")):
+        with open(os.path.join(P["workdir"], "train_wall.json")) as f:
+            report["train_wall_s"] = json.load(f)
+
+    # ---------------- PCAA ----------------
+    import inference_PCAA
+
+    strip_usetex(inference_PCAA.plt.rcParams)
+    pcaa_rows = []
+    for k in args.ks:
+        print(f"[full] PCAA k={k}: reference inference (torch, CPU)...")
+        np.random.seed(10_000 + k)  # split-regeneration pad/subsample stream
+        t0 = time.time()
+        with open(os.path.join(P["workdir"], "ref_pcaa_infer.log"), "a") as log:
+            with contextlib.redirect_stdout(log):
+                inference_PCAA.CGAAE_inference(
+                    [PCAA_NAME], ks=[k], variation=inference_PCAA.VARIATION.V4
+                )
+        ref_s = time.time() - t0
+        ref_preds = np.load(
+            os.path.join(P["ref_dir"], "models", PCAA_NAME, f"final_preds_{k}.npy")
+        )
+        ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
+        ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
+        ref_map, val_subjects, _, _, _ = reference_pcaa_window_map(
+            ref_test, ref_unseen, ref_preds, k
+        )
+
+        print(f"[full] PCAA k={k}: framework inference (flax, CPU)...")
+        t0 = time.time()
+        pcaa_inference(
+            [PCAA_NAME],
+            [k],
+            models_path=P["fw_models"],
+            figures_path=P["fw_figs"],
+            variation=VARIATION.V4,
+            generate_dataset=False,
+        )
+        fw_s = time.time() - t0
+        fw_preds = np.load(
+            os.path.join(P["fw_models"], PCAA_NAME, f"final_preds_{k}.npy")
+        )
+        fw_test = RadarCropDataset(SPLIT.TEST, P["gen_dir"], sequential=True)
+        fw_unseen = RadarCropDataset(SPLIT.UNSEEN, P["gen_dir"], sequential=True)
+        fw_map = framework_pcaa_window_map(
+            fw_test, fw_unseen, fw_preds, k, val_subjects
+        )
+        head = agreement(fw_map, ref_map)
+        n_cls = len(TRAIN_CLASSES)
+        row = dict(
+            k=k,
+            crop_agreement=head,
+            unknown_rate_ref=float(np.mean(ref_preds == n_cls)),
+            unknown_rate_fw=float(np.mean(fw_preds == n_cls)),
+            n_windows_ref=len(ref_preds),
+            n_windows_fw=len(fw_preds),
+            ref_inference_s=ref_s,
+            fw_inference_s=fw_s,
+        )
+        pcaa_rows.append(row)
+        print(
+            f"[full] PCAA k={k}: crop agreement {head['agree']:.4f} "
+            f"(n={head['n_common']}), ref {ref_s:.0f}s vs fw {fw_s:.0f}s"
+        )
+        if k == args.ks[-1]:
+            # hand the last k's reference decisions (and the on-disk crops, as
+            # regenerated by THIS k's reference pass) to the TPU subprocess
+            with open(P["state_pcaa"], "wb") as f:
+                pickle.dump(
+                    dict(k=k, ref_map=ref_map, val_subjects=val_subjects,
+                         fw_map_cpu=fw_map),
+                    f,
+                )
+    report["pcaa_cpu"] = pcaa_rows
+    if not args.no_tpu and spawn_tpu_phase("tpu-pcaa", P["workdir"]):
+        with open(P["tpu_pcaa"]) as f:
+            report["pcaa_tpu"] = json.load(f)
+
+    # ---------------- ORCED (pinned reparam noise) ----------------
+    if not args.no_orced:
+        from tools.parity_twin_orced import RandnRecorder
+
+        _shim_hardcoded_cuda()
+        import inference_ORCED
+
+        strip_usetex(inference_ORCED.plt.rcParams)
+        print("[full] ORCED: reference inference (torch+scipy mvn, CPU — slow)...")
+        np.random.seed(30_000)  # split-regeneration stream
+        randn = RandnRecorder()
+        randn.install()
+        t0 = time.time()
+        with open(os.path.join(P["workdir"], "ref_orced_infer.log"), "a") as log:
+            with contextlib.redirect_stdout(log):
+                inference_ORCED.ORCED_inference([ORCED_NAME])
+        ref_s = time.time() - t0
+        randn.uninstall()
+        print(f"[full] ORCED reference inference: {ref_s:.0f}s")
+        fig_dir = os.path.join(P["ref_dir"], "figures", ORCED_NAME)
+        ref_preds = np.load(
+            os.path.join(fig_dir, "ensemble_ood_final_preds_fixed.npy")
+        )
+        ref_labels = np.load(
+            os.path.join(fig_dir, "ensemble_ood_final_labels_fixed.npy")
+        )
+
+        # crop order the reference's shuffle=False loaders iterated, and the
+        # recorded eps stream sliced per split (assembly per
+        # tools/parity_twin_orced.py:426-460)
+        ro = {
+            s: MSRadarDataset(getattr(REF_SPLIT, s.upper()))
+            for s in ("train", "test", "unseen")
+        }
+        order = {
+            s: [os.path.basename(f) for f in ds.filenames]
+            for s, ds in ro.items()
+        }
+        n_tr, n_te, n_un = (len(order[s]) for s in ("train", "test", "unseen"))
+        n_tr_keep = (n_tr // ORCED_BS) * ORCED_BS
+        b_tr = n_tr_keep // ORCED_BS
+        b_te, b_un = -(-n_te // ORCED_BS), -(-n_un // ORCED_BS)
+        assert len(randn.draws) == b_tr + b_te + b_un, (
+            len(randn.draws),
+            (b_tr, b_te, b_un),
+        )
+        eps_streams = {
+            "train": np.concatenate(randn.draws[:b_tr]),
+            "test": np.concatenate(randn.draws[b_tr : b_tr + b_te]),
+            "unseen": np.concatenate(randn.draws[b_tr + b_te :]),
+        }
+        assert eps_streams["test"].shape == (n_te, LATENT)
+        assert eps_streams["unseen"].shape == (n_un, LATENT)
+        eps_streams["train"] = np.concatenate(
+            [eps_streams["train"],
+             np.zeros((n_tr - n_tr_keep, LATENT), np.float32)]
+        )
+
+        print("[full] ORCED: framework inference with pinned eps (CPU)...")
+        t0 = time.time()
+        orced_inference(
+            [ORCED_NAME],
+            models_path=P["fw_models"],
+            figures_path=P["fw_figs"],
+            generate_dataset=False,
+            batch_size=ORCED_BS,
+            eps_streams=eps_streams,
+            crop_order=order,
+        )
+        fw_s = time.time() - t0
+        fw_preds = np.load(
+            os.path.join(
+                P["fw_figs"], ORCED_NAME, "ensemble_ood_final_preds_fixed.npy"
+            )
+        )
+        fw_labels = np.load(
+            os.path.join(
+                P["fw_figs"], ORCED_NAME, "ensemble_ood_final_labels_fixed.npy"
+            )
+        )
+        assert len(fw_preds) == len(ref_preds), (len(fw_preds), len(ref_preds))
+        assert np.array_equal(fw_labels, ref_labels), "composition mismatch"
+        agree = float(np.mean(fw_preds == ref_preds))
+        n_cls = len(TRAIN_CLASSES)
+        report["orced_cpu"] = dict(
+            pinned_eps_agreement=agree,
+            n_decisions=int(len(ref_preds)),
+            unknown_rate_ref=float(np.mean(ref_preds == n_cls)),
+            unknown_rate_fw=float(np.mean(fw_preds == n_cls)),
+            ref_inference_s=ref_s,
+            fw_inference_s=fw_s,
+        )
+        print(
+            f"[full] ORCED pinned-eps agreement {agree:.4f} "
+            f"(n={len(ref_preds)}), ref {ref_s:.0f}s vs fw {fw_s:.0f}s"
+        )
+        with open(P["state_orced"], "wb") as f:
+            pickle.dump(
+                dict(eps_streams=eps_streams, crop_order=order,
+                     ref_preds=ref_preds, ref_labels=ref_labels),
+                f,
+            )
+        if not args.no_tpu and spawn_tpu_phase("tpu-orced", P["workdir"]):
+            with open(P["tpu_orced"]) as f:
+                report["orced_tpu"] = json.load(f)
+
+    write_report(report)
+
+
+# ---------------------------------------------------------------------------
+# phases: tpu-pcaa / tpu-orced (default platform — the real chip)
+# ---------------------------------------------------------------------------
+
+
+def _require_tpu():
+    import jax
+
+    plat = jax.devices()[0].platform
+    if plat == "cpu":
+        print("[full] no TPU available — tpu phase skipped")
+        return False
+    return True
+
+
+def phase_tpu_pcaa(args):
+    if not _require_tpu():
+        sys.exit(3)
+    P = paths(args.workdir)
+    with open(P["state_pcaa"], "rb") as f:
+        st = pickle.load(f)
+    k = st["k"]
+    from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION
+    from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+    from opensetgaitrecognition_pcaa_tpu.infer import pcaa_inference
+
+    t0 = time.time()
+    pcaa_inference(
+        [PCAA_NAME],
+        [k],
+        models_path=P["fw_models"],
+        figures_path=P["fw_figs"],
+        variation=VARIATION.V4,
+        generate_dataset=False,
+    )
+    tpu_s = time.time() - t0
+    fw_preds = np.load(
+        os.path.join(P["fw_models"], PCAA_NAME, f"final_preds_{k}.npy")
+    )
+    fw_test = RadarCropDataset(SPLIT.TEST, P["gen_dir"], sequential=True)
+    fw_unseen = RadarCropDataset(SPLIT.UNSEEN, P["gen_dir"], sequential=True)
+    fw_map = framework_pcaa_window_map(
+        fw_test, fw_unseen, fw_preds, k, st["val_subjects"]
+    )
+    res = dict(
+        k=k,
+        crop_agreement_vs_ref=agreement(fw_map, st["ref_map"]),
+        crop_agreement_vs_fw_cpu=agreement(fw_map, st["fw_map_cpu"]),
+        inference_s=tpu_s,
+    )
+    with open(P["tpu_pcaa"], "w") as f:
+        json.dump(res, f, indent=2)
+    a = res["crop_agreement_vs_ref"]
+    print(
+        f"[full] PCAA TPU k={k}: agreement vs ref {a['agree']:.4f} "
+        f"(n={a['n_common']}), {tpu_s:.0f}s"
+    )
+
+
+def phase_tpu_orced(args):
+    if not _require_tpu():
+        sys.exit(3)
+    P = paths(args.workdir)
+    with open(P["state_orced"], "rb") as f:
+        st = pickle.load(f)
+    from opensetgaitrecognition_pcaa_tpu.infer import orced_inference
+
+    t0 = time.time()
+    orced_inference(
+        [ORCED_NAME],
+        models_path=P["fw_models"],
+        figures_path=P["fw_figs"],
+        generate_dataset=False,
+        batch_size=ORCED_BS,
+        eps_streams=st["eps_streams"],
+        crop_order=st["crop_order"],
+    )
+    tpu_s = time.time() - t0
+    fw_preds = np.load(
+        os.path.join(
+            P["fw_figs"], ORCED_NAME, "ensemble_ood_final_preds_fixed.npy"
+        )
+    )
+    agree = float(np.mean(fw_preds == st["ref_preds"]))
+    res = dict(
+        pinned_eps_agreement_vs_ref=agree,
+        n_decisions=int(len(fw_preds)),
+        inference_s=tpu_s,
+    )
+    with open(P["tpu_orced"], "w") as f:
+        json.dump(res, f, indent=2)
+    print(f"[full] ORCED TPU: agreement vs ref {agree:.4f}, {tpu_s:.0f}s")
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+SECTION_BEGIN = "<!-- fulldims:begin -->"
+SECTION_END = "<!-- fulldims:end -->"
+
+
+def write_report(report):
+    out = os.path.join(REPO, "DECISION_PARITY_FULL.json")
+    def _np_safe(o):
+        return o.tolist() if hasattr(o, "tolist") else str(o)
+
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2, default=_np_safe)
+    md = [
+        SECTION_BEGIN,
+        "",
+        "## Full reference dims (published config)\n",
+        "`tools/decision_parity_full.py` — the SAME measurement at the",
+        "configuration the paper publishes (`constants.py:29-55`: NMAX=150,",
+        f"NSTEPS=30, CROP_STEP=6, D=1024, latent=32), {report['epochs']} epochs,",
+        "trained ON THE TPU with the bench fast config (bf16 compute +",
+        "BF16_ADAM_NU + BF16_WEIGHT_CACHE), exported to torch run folders by",
+        "`scripts/export_reference_run.py`, and scored by the reference's own",
+        "inference drivers on CPU.\n",
+        "### PCAA\n",
+        "| k | ref-vs-fw(CPU) crop agreement | n crops | unknown rate (ref / fw) | ref / fw inference s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in report.get("pcaa_cpu", []):
+        h = r["crop_agreement"]
+        md.append(
+            f"| {r['k']} | {h['agree']:.4f} | {h['n_common']} | "
+            f"{r['unknown_rate_ref']:.4f} / {r['unknown_rate_fw']:.4f} | "
+            f"{r['ref_inference_s']:.0f} / {r['fw_inference_s']:.0f} |"
+        )
+    if "pcaa_tpu" in report:
+        t = report["pcaa_tpu"]
+        a, b = t["crop_agreement_vs_ref"], t["crop_agreement_vs_fw_cpu"]
+        md += [
+            "",
+            f"TPU fast path (fused Pallas eval encoder) at k={t['k']}: "
+            f"**{a['agree']:.4f}** agreement vs the torch reference "
+            f"(n={a['n_common']}), {b['agree']:.4f} vs the framework's own "
+            f"CPU f32 pass, in {t['inference_s']:.0f}s.",
+        ]
+    if "orced_cpu" in report:
+        o = report["orced_cpu"]
+        md += [
+            "",
+            "### ORCED (eval-time reparam noise PINNED)\n",
+            f"- framework (CPU) vs reference, identical eps replayed per crop:"
+            f" **{o['pinned_eps_agreement']:.4f}** (n={o['n_decisions']})",
+            f"- unknown rates ref/fw: {o['unknown_rate_ref']:.4f} /"
+            f" {o['unknown_rate_fw']:.4f}",
+            f"- same-crop wall-clock: reference {o['ref_inference_s']:.0f}s"
+            f" (scipy 32-D mvn cdf per sample×class) vs framework"
+            f" {o['fw_inference_s']:.0f}s (factorized product-of-Φ)",
+        ]
+    if "orced_tpu" in report:
+        t = report["orced_tpu"]
+        md += [
+            f"- framework (TPU fused trunk) vs reference, same pinned eps: "
+            f"**{t['pinned_eps_agreement_vs_ref']:.4f}** "
+            f"(n={t['n_decisions']}, {t['inference_s']:.0f}s)",
+        ]
+    if "train_wall_s" in report:
+        w = report["train_wall_s"]
+        if w:
+            md += [
+                "",
+                f"Training wall-clock on one v5e chip: PCAA V4 "
+                f"{w.get('pcaa_train_s', float('nan')):.0f}s, ORCED "
+                f"{w.get('orced_train_s', float('nan')):.0f}s "
+                f"({report['epochs']} epochs, full dims).",
+            ]
+    md += ["", SECTION_END]
+    block = "\n".join(md)
+
+    dp_md = os.path.join(REPO, "DECISION_PARITY.md")
+    with open(dp_md) as f:
+        text = f.read()
+    if SECTION_BEGIN in text:
+        pre = text.split(SECTION_BEGIN)[0]
+        post = text.split(SECTION_END, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(dp_md, "w") as f:
+        f.write(text)
+    print(f"[full] wrote {out} and updated DECISION_PARITY.md")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/dp_full")
+    p.add_argument(
+        "--phase",
+        default="all",
+        choices=["all", "train", "compare", "tpu-pcaa", "tpu-orced"],
+    )
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ks", type=int, nargs="+", default=[6, 2, 1])
+    p.add_argument("--no-orced", action="store_true")
+    p.add_argument("--no-tpu", action="store_true")
+    p.add_argument(
+        "--skip-train",
+        action="store_true",
+        help="reuse existing trained runs in the workdir (re-exports only)",
+    )
+    args = p.parse_args()
+
+    if args.phase == "train":
+        phase_train(args)
+    elif args.phase == "compare":
+        phase_compare(args)
+    elif args.phase == "tpu-pcaa":
+        phase_tpu_pcaa(args)
+    elif args.phase == "tpu-orced":
+        phase_tpu_orced(args)
+    else:  # all: train (TPU) then compare (CPU) as subprocesses
+        base = [sys.executable, os.path.abspath(__file__), "--workdir",
+                os.path.abspath(args.workdir), "--epochs", str(args.epochs),
+                "--seed", str(args.seed)]
+        tr = base + ["--phase", "train"]
+        if args.skip_train:
+            tr.append("--skip-train")
+        r = subprocess.run(tr, cwd=REPO)
+        if r.returncode != 0:
+            sys.exit(r.returncode)
+        cmp_cmd = base + ["--phase", "compare", "--ks"] + [
+            str(k) for k in args.ks
+        ]
+        if args.no_orced:
+            cmp_cmd.append("--no-orced")
+        if args.no_tpu:
+            cmp_cmd.append("--no-tpu")
+        r = subprocess.run(cmp_cmd, cwd=REPO)
+        sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()
