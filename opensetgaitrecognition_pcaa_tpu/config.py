@@ -184,6 +184,16 @@ class Config:
     FIGURES_PATH: str = "figures"
     # Data-parallel device count for the batch axis (1 = single chip).
     DP_DEVICES: int = 1
+    # Tensor-parallel device count: wide matmul kernels (decoder MLP /
+    # PointNet stack outputs) are split on their output axis over the
+    # 'model' mesh axis (parallel/mesh.py::state_shardings). Total devices
+    # used by a trainer = DP_DEVICES * MP_DEVICES.
+    MP_DEVICES: int = 1
+    # Smallest kernel output dim the tensor-parallel rule will split.
+    # Kernels below this stay replicated (splitting tiny layers costs more
+    # in collectives than it saves in HBM/FLOPs). Lower it for tiny test
+    # configs so the rule engages at all.
+    MP_MIN_DIM: int = 128
 
     # ---- derived helpers -------------------------------------------------
     @property

@@ -159,18 +159,34 @@ class RadarCropDataset:
         rng: Optional[np.random.Generator] = None,
         drop_last: bool = True,
     ) -> np.ndarray:
-        """Index matrix ``(steps, batch_size)`` for one epoch.
+        """Index matrix ``(steps, batch_size)`` for one epoch — see
+        :func:`epoch_batch_indices` (the solo trainers consume that function
+        directly, so the schedule logic exists exactly once)."""
+        return epoch_batch_indices(
+            len(self), batch_size, shuffle, rng=rng, drop_last=drop_last
+        )
 
-        Shuffling happens host-side (cheap); the gather happens on device
-        inside the jitted epoch. ``drop_last=True`` matches every reference
-        training loader (e.g. ``PCAA_ablation.py:797``).
-        """
-        n = len(self)
-        order = np.arange(n)
-        if shuffle:
-            (rng or np.random.default_rng(0)).shuffle(order)
-        steps = n // batch_size if drop_last else -(-n // batch_size)
-        if not drop_last and steps * batch_size > n:
-            pad = steps * batch_size - n
-            order = np.concatenate([order, order[:pad]])
-        return order[: steps * batch_size].reshape(steps, batch_size)
+
+def epoch_batch_indices(
+    n: int,
+    batch_size: int,
+    shuffle: bool,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = True,
+) -> np.ndarray:
+    """Index matrix ``(steps, batch_size)`` for one epoch over ``n`` samples.
+
+    Shuffling happens host-side (cheap); the gather happens on device inside
+    the jitted epoch. ``drop_last=True`` matches every reference training
+    loader (e.g. ``PCAA_ablation.py:797``). ``rng.shuffle`` over ``arange``
+    consumes the Generator stream identically to ``rng.permutation(n)``, so
+    resume checkpoints that replay the host RNG state stay schedule-exact.
+    """
+    order = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng(0)).shuffle(order)
+    steps = n // batch_size if drop_last else -(-n // batch_size)
+    if not drop_last and steps * batch_size > n:
+        pad = steps * batch_size - n
+        order = np.concatenate([order, order[:pad]])
+    return order[: steps * batch_size].reshape(steps, batch_size)

@@ -28,7 +28,10 @@ import optax
 from flax import struct
 
 from opensetgaitrecognition_pcaa_tpu.config import SPLIT, Config
-from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.data.dataset import (
+    RadarCropDataset,
+    epoch_batch_indices,
+)
 from opensetgaitrecognition_pcaa_tpu.models import (
     GaussianMeanLearner,
     ORCEDDecoder,
@@ -424,14 +427,16 @@ def train_orced(
     models, state = build_orced(cfg, key)
 
     mesh = None
-    if cfg.DP_DEVICES > 1:
+    if cfg.DP_DEVICES * cfg.MP_DEVICES > 1:
         from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
 
         assert cfg.BATCH_SIZE % cfg.DP_DEVICES == 0, (
             cfg.BATCH_SIZE,
             cfg.DP_DEVICES,
         )
-        mesh = create_mesh(cfg.DP_DEVICES, model_parallel=1)
+        mesh = create_mesh(
+            cfg.DP_DEVICES * cfg.MP_DEVICES, model_parallel=cfg.MP_DEVICES
+        )
 
     train_epoch, valid_epoch = make_orced_epoch_fns(models, cfg, mesh=mesh)
     logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
@@ -441,9 +446,9 @@ def train_orced(
     steps = n_train // cfg.BATCH_SIZE
     valid_steps = x_valid.shape[0] // cfg.BATCH_SIZE
     valid_perm = jnp.asarray(
-        np.arange(valid_steps * cfg.BATCH_SIZE)
-        .reshape(valid_steps, cfg.BATCH_SIZE)
-        .astype(np.int32)
+        epoch_batch_indices(
+            x_valid.shape[0], cfg.BATCH_SIZE, shuffle=False
+        ).astype(np.int32)
     )
 
     def snapshot():
@@ -472,17 +477,23 @@ def train_orced(
             if verbose:
                 print(f"[{name}] resuming from epoch {start_epoch}")
 
+    if mesh is not None and cfg.MP_DEVICES > 1:
+        # Tensor parallelism: place params + Adam moments with the
+        # output-axis rule (parallel/mesh.py), after any resume restore.
+        from opensetgaitrecognition_pcaa_tpu.parallel.mesh import shard_state
+
+        state = shard_state(state, mesh, min_dim=cfg.MP_MIN_DIM)
+
     t_start = time.time()
     total_windows = 0
     out: Dict[str, float] = {}
 
     for epoch in range(start_epoch, cfg.EPOCHS):
         kl_mult = jnp.float32(epoch / cfg.EPOCHS)  # train_ORCED.py:122
-        order = host_rng.permutation(n_train)
         perm = jnp.asarray(
-            order[: steps * cfg.BATCH_SIZE]
-            .reshape(steps, cfg.BATCH_SIZE)
-            .astype(np.int32)
+            epoch_batch_indices(
+                n_train, cfg.BATCH_SIZE, shuffle=True, rng=host_rng
+            ).astype(np.int32)
         )
         state, m = train_epoch(state, x_train, y_train, perm, kl_mult)
         vm = valid_epoch(

@@ -49,7 +49,10 @@ import optax
 from flax import struct
 
 from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION, Config
-from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
+from opensetgaitrecognition_pcaa_tpu.data.dataset import (
+    RadarCropDataset,
+    epoch_batch_indices,
+)
 from opensetgaitrecognition_pcaa_tpu.models import (
     CGDecoder,
     CGDiscriminator,
@@ -866,14 +869,16 @@ def train_pcaa(
         )
 
     mesh = None
-    if cfg.DP_DEVICES > 1:
+    if cfg.DP_DEVICES * cfg.MP_DEVICES > 1:
         from opensetgaitrecognition_pcaa_tpu.parallel.mesh import create_mesh
 
         assert cfg.BATCH_SIZE % cfg.DP_DEVICES == 0, (
             cfg.BATCH_SIZE,
             cfg.DP_DEVICES,
         )
-        mesh = create_mesh(cfg.DP_DEVICES, model_parallel=1)
+        mesh = create_mesh(
+            cfg.DP_DEVICES * cfg.MP_DEVICES, model_parallel=cfg.MP_DEVICES
+        )
 
     train_epoch, valid_epoch = make_epoch_fns(mods, cfg, mesh=mesh)
     logger = MetricLogger(run_dir, cfg.to_dict(), mode=wandb_mode)
@@ -896,6 +901,15 @@ def train_pcaa(
             if verbose:
                 print(f"[{name}] resuming from epoch {start_epoch}")
 
+    if mesh is not None and cfg.MP_DEVICES > 1:
+        # Tensor parallelism: place params + Adam moments with the
+        # output-axis rule (parallel/mesh.py). Done AFTER the resume restore
+        # so a restored (host-side) state gets the same placement; GSPMD
+        # then propagates the layout through the donated epoch scans.
+        from opensetgaitrecognition_pcaa_tpu.parallel.mesh import shard_state
+
+        state = shard_state(state, mesh, min_dim=cfg.MP_MIN_DIM)
+
     n_train = x_train.shape[0]
     n_windows_epoch = (n_train // cfg.BATCH_SIZE) * cfg.BATCH_SIZE
     t_start = time.time()
@@ -904,16 +918,15 @@ def train_pcaa(
 
     valid_steps = x_valid.shape[0] // cfg.BATCH_SIZE
     valid_perm = jnp.asarray(
-        np.arange(valid_steps * cfg.BATCH_SIZE).reshape(valid_steps, cfg.BATCH_SIZE)
+        epoch_batch_indices(x_valid.shape[0], cfg.BATCH_SIZE, shuffle=False)
     )
 
+    steps = n_train // cfg.BATCH_SIZE
     for epoch in range(start_epoch, cfg.EPOCHS):
-        order = host_rng.permutation(n_train)
-        steps = n_train // cfg.BATCH_SIZE
         perm = jnp.asarray(
-            order[: steps * cfg.BATCH_SIZE].reshape(steps, cfg.BATCH_SIZE).astype(
-                np.int32
-            )
+            epoch_batch_indices(
+                n_train, cfg.BATCH_SIZE, shuffle=True, rng=host_rng
+            ).astype(np.int32)
         )
         state, m = train_epoch(state, x_train, y_train, perm)
         vm = valid_epoch(state, x_valid, y_valid, valid_perm)

