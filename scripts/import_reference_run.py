@@ -272,9 +272,15 @@ def _staged_run_dir(final_dir: str):
     full success — a refused import must not leave a half-valid run folder
     behind (anything holding a ``config.json`` reads as a run to the grid
     drivers and result collectors). On failure the stage is removed and a
-    pre-existing ``final_dir`` is left untouched; on success it is replaced
-    atomically-enough (rmtree + rename on one filesystem)."""
-    stage = final_dir + ".importing"
+    pre-existing ``final_dir`` is left untouched.
+
+    Crash-safety (advisor round 3): the stage is PID-suffixed so two
+    concurrent imports of the same run name cannot rmtree each other's
+    in-progress stage; callers write ``config.json`` LAST (so a
+    SIGKILL-orphaned stage never parses as a run folder); and promotion
+    renames the old run aside before renaming the stage in — the unsafe
+    window is one rename, not a full recursive delete."""
+    stage = f"{final_dir}.importing.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     try:
@@ -282,9 +288,12 @@ def _staged_run_dir(final_dir: str):
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
+    old = final_dir + ".replaced"
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(final_dir):
-        shutil.rmtree(final_dir)
+        os.replace(final_dir, old)
     os.replace(stage, final_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Config:
@@ -298,8 +307,10 @@ def import_pcaa_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Confi
     if not cfg.MODEL_NAME:
         cfg = cfg.replace(MODEL_NAME=name)
     with _staged_run_dir(cfg.run_dir()) as run_dir:
-        cfg.save(os.path.join(run_dir, "config.json"))
         _write_pcaa_modules(ref_run_dir, cfg, name, run_dir)
+        # config.json is written LAST: an interrupted stage must never hold
+        # the one file that makes a directory read as a run folder.
+        cfg.save(os.path.join(run_dir, "config.json"))
     return cfg
 
 
@@ -334,6 +345,12 @@ def _write_pcaa_modules(
     save_params(enc_vars, module_path(run_dir, name, "E"))
 
     disc_sd = _load_state_dict(_pt("D"))
+    bad = [k for k in disc_sd if "model." not in k]
+    if bad:  # refuse explicitly — a bare split() would die with IndexError
+        raise ValueError(
+            f"D: keys without the reference's 'model.' prefix "
+            f"(CGDiscriminator wraps an nn.Sequential named 'model'): {bad}"
+        )
     disc_params = torch_cg_discriminator_to_flax(disc_sd)
     _head_roundtrip(
         {k.split("model.", 1)[1]: v for k, v in disc_sd.items()}, disc_params, "D"
@@ -452,8 +469,8 @@ def import_orced_run(ref_run_dir: str, out_models: str, **cfg_overrides) -> Conf
     if not cfg.MODEL_NAME:
         cfg = cfg.replace(MODEL_NAME=name)
     with _staged_run_dir(cfg.run_dir()) as run_dir:
-        cfg.save(os.path.join(run_dir, "config.json"))
         _write_orced_modules(ref_run_dir, cfg, name, run_dir)
+        cfg.save(os.path.join(run_dir, "config.json"))  # last — see stager
     return cfg
 
 

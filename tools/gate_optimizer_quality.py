@@ -23,7 +23,8 @@ approximation is quality-neutral (measured: -5.6pp — rejected).
 SUPERSEDED (v5e, 10 epochs, 6 seeds, 2026-08-17): the decisive longer gate
 cleared nu16 at +0.8pp mean paired accuracy — the 4-epoch deficit is a
 transient of early training, not a converged bias. nu16 therefore ships in
-the bench config (922 w/s headline); ``Config.BF16_ADAM_NU`` stays False
+the bench config (952 w/s headline once round 3's BF16_WEIGHT_CACHE landed
+on top; 922 at this gate's date); ``Config.BF16_ADAM_NU`` stays False
 as the parity default. The 4-epoch verdict above is retained for history
 only.
 """
