@@ -173,6 +173,26 @@ def main():
         help="lockstep runs per device in --grid mode; splits beyond "
         "HBM capacity train in sequential chunks",
     )
+    p.add_argument(
+        "--compute-dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="override Config.COMPUTE_DTYPE (bfloat16 = validated fast path)",
+    )
+    p.add_argument(
+        "--bf16-adam-nu",
+        action="store_true",
+        help="store Adam second moments in bf16 (cleared ORCED's own "
+        "10-epoch paired quality gate; tools/gate_optimizer_quality.py "
+        "--model orced)",
+    )
+    p.add_argument(
+        "--bf16-weight-cache",
+        action="store_true",
+        help="carry bf16 copies of the decoder kernels refreshed inside "
+        "the Adam write (bit-identical to bf16 compute by construction); "
+        "requires --compute-dtype bfloat16",
+    )
     args = p.parse_args()
 
     base_cfg = default_config(
@@ -187,6 +207,12 @@ def main():
     )
     if args.epochs:
         base_cfg = base_cfg.replace(EPOCHS=args.epochs)
+    if args.compute_dtype:
+        base_cfg = base_cfg.replace(COMPUTE_DTYPE=args.compute_dtype)
+    if args.bf16_adam_nu:
+        base_cfg = base_cfg.replace(BF16_ADAM_NU=True)
+    if args.bf16_weight_cache:
+        base_cfg = base_cfg.replace(BF16_WEIGHT_CACHE=True)
 
     if args.grid:
         run_grid_mode(args, base_cfg)

@@ -61,6 +61,8 @@ def run_grid_mode(args):
         base_cfg = base_cfg.replace(COMPUTE_DTYPE=args.compute_dtype)
     if getattr(args, "bf16_adam_nu", False):
         base_cfg = base_cfg.replace(BF16_ADAM_NU=True)
+    if getattr(args, "bf16_weight_cache", False):
+        base_cfg = base_cfg.replace(BF16_WEIGHT_CACHE=True)
 
     n_dev = len(jax.devices())
     mesh = create_mesh(n_dev) if n_dev > 1 else None
@@ -251,6 +253,14 @@ def main():
         "tools/gate_optimizer_quality.py)",
     )
     p.add_argument(
+        "--bf16-weight-cache",
+        action="store_true",
+        help="carry bf16 copies of the decoder kernels refreshed inside the "
+        "Adam write — bit-identical to bf16 compute by construction "
+        "(tests/test_optim.py::TestBF16WeightCache), +3%% throughput; "
+        "requires --compute-dtype bfloat16",
+    )
+    p.add_argument(
         "--grid",
         action="store_true",
         help="train all splits of each (variant, openness) cell in lockstep "
@@ -275,6 +285,8 @@ def main():
         base_cfg = base_cfg.replace(COMPUTE_DTYPE=args.compute_dtype)
     if getattr(args, "bf16_adam_nu", False):
         base_cfg = base_cfg.replace(BF16_ADAM_NU=True)
+    if getattr(args, "bf16_weight_cache", False):
+        base_cfg = base_cfg.replace(BF16_WEIGHT_CACHE=True)
 
     rng = np.random.default_rng(0)  # splits_seed = 0 (PCAA_ablation.py:1132)
     for n_tr in args.n_training_classes:
