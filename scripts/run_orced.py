@@ -102,6 +102,13 @@ def run_grid_mode(args, base_cfg):
             _run_orced_chunk(base_cfg, cfgs, chunk_data,
                              mesh if use_mesh else None)
 
+        # Different openness levels never share executable shapes, so the
+        # jit caches from this group only pin HBM (see
+        # run_pcaa_ablation.run_grid_mode — the retained caches of nine
+        # 50-epoch chunks OOMed the n_tr=8 stack in round 4).
+        del data
+        jax.clear_caches()
+
 
 def _run_orced_chunk(base_cfg, cfgs, chunk_data, mesh):
     from opensetgaitrecognition_pcaa_tpu.parallel.grid import GridORCEDTrainer

@@ -143,6 +143,14 @@ def run_grid_mode(args):
                     mesh if use_mesh else None, base_cfg,
                 )
 
+        # The next openness level has different dataset shapes, so every
+        # executable cached for this group is dead weight that still pins
+        # HBM — nine retained 50-epoch chunks OOMed the 16 GB chip at the
+        # n_tr=8 state stack (round 4). Drop this group's whole-split
+        # device arrays and the jit caches before the next group compiles.
+        del data
+        jax.clear_caches()
+
 
 def run_grid_chunk(args, cfgs, variation, data, mesh, base_cfg):
     import json
