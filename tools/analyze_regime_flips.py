@@ -121,6 +121,13 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="/tmp/twinC")
     p.add_argument("--out", default=os.path.join(REPO, "KNIFE_EDGE.json"))
+    p.add_argument(
+        "--merge-prior",
+        default=None,
+        help="path to an existing KNIFE_EDGE.json whose rows (for seeds "
+        "whose workdirs are gone) are merged into the summary — extends "
+        "a recorded analysis without the original trained twins",
+    )
     args = p.parse_args()
 
     seeds = sorted(
@@ -130,6 +137,10 @@ def main():
         and os.path.exists(os.path.join(args.workdir, d, "result.json"))
     )
     rows = []
+    if args.merge_prior:
+        with open(args.merge_prior) as f:
+            prior_rows = json.load(f)["rows"]
+        rows += [r for r in prior_rows if r["seed"] not in seeds]
     for s in seeds:
         seed_dir = os.path.join(args.workdir, f"seed{s}")
         fw_models = os.path.join(seed_dir, "models_fw")
@@ -211,8 +222,9 @@ def main():
                     crn_flips[r["seed"]] = (
                         crn_flips.get(r["seed"], False) or r["regime_flip"]
                     )
+    seeds_all = sorted({r["seed"] for r in rows})
     drawn_table = []
-    for s in seeds:
+    for s in seeds_all:
         cell = [
             r
             for r in rows
@@ -236,7 +248,7 @@ def main():
     margins = np.array([r["margin"] for r in rows if np.isfinite(r["margin"])])
     flip_pairs = 0
     pair_count = 0
-    for s in seeds:
+    for s in seeds_all:
         for subj in {r["val_subject"] for r in rows if r["seed"] == s}:
             pick = {
                 r["side"]: r["chosen_regime"]
@@ -248,6 +260,7 @@ def main():
                 flip_pairs += pick["ref"] != pick["fw"]
     summary = {
         "workdir": args.workdir,
+        "merged_prior": args.merge_prior,
         "n_rows": len(rows),
         "margin_mean": float(margins.mean()),
         "margin_median": float(np.median(margins)),
