@@ -100,19 +100,23 @@ def infer_encoder_wps(cfg):
     return wps
 
 
-def serving_decision_ms(cfg, k=6, batch=32):
-    """Exported PCAA decision artifact (infer/serving.py): scan-amortized
-    on-device ms per k-window decision at B=``batch``."""
+def serving_decision_ms(cfg, k=6, batch=32, model="pcaa"):
+    """Exported decision artifact (infer/serving.py): scan-amortized
+    on-device ms per decision at B=``batch``. ``model="pcaa"`` is the
+    k-window vote; ``model="orced"`` is the per-crop OR-ensemble decision
+    (reference ``inference_ORCED.py:48-131``) — encoder reparam forward +
+    215M-param decoder + Chamfer + f64 hyperrectangle criterion."""
     import argparse
 
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    from tools.bench_serving import _export_pcaa
+    from tools.bench_serving import _export_orced, _export_pcaa
 
     ns = argparse.Namespace(k=k, n_labels=cfg.n_classes)
-    exported, make_inputs, _ = _export_pcaa(ns, jax, jnp, jax_export)
+    build = _export_pcaa if model == "pcaa" else _export_orced
+    exported, make_inputs, _ = build(ns, jax, jnp, jax_export)
     R = 10
     inputs = tuple(jnp.asarray(a) for a in make_inputs(batch))
 
@@ -302,10 +306,12 @@ def main():
         vs = wps / base["torch_cpu_windows_per_sec"]
 
     # secondary driver-visible metrics (round-3 VERDICT item 5): the ORCED
-    # trainer, the fused inference encoder, and the serving artifact all
-    # regress visibly if these move. Failures degrade to an error string so
-    # the headline survives.
+    # trainer, the fused inference encoder, and the serving artifacts all
+    # regress visibly if these move. A failed metric stays null (numeric
+    # consumers see a missing measurement, not a string) and the error text
+    # goes to a separate "errors" field (round-4 ADVICE).
     extra = {}
+    errors = {}
     for name, fn in (
         ("orced_train_wps", lambda: orced_train_wps(cfg, x, y, perm)),
         ("infer_encoder_wps", lambda: infer_encoder_wps(cfg)),
@@ -313,11 +319,16 @@ def main():
             "serving_pcaa_ms_per_decision_b32",
             lambda: serving_decision_ms(cfg),
         ),
+        (
+            "serving_orced_ms_per_decision_b32",
+            lambda: serving_decision_ms(cfg, model="orced"),
+        ),
     ):
         try:
             extra[name] = round(fn(), 2)
         except Exception as e:  # noqa: BLE001 — keep the headline alive
-            extra[name] = f"ERROR: {type(e).__name__}: {e}"
+            extra[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"
 
     print(
         json.dumps(
@@ -329,6 +340,7 @@ def main():
                 "pallas_parity": pallas_parity,
                 "pallas_parity_cases": pallas_cases,
                 **extra,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -152,21 +152,6 @@ class RadarCropDataset:
             self._arrays = out
         return self._arrays, self.labels
 
-    def epoch_batches(
-        self,
-        batch_size: int,
-        shuffle: bool,
-        rng: Optional[np.random.Generator] = None,
-        drop_last: bool = True,
-    ) -> np.ndarray:
-        """Index matrix ``(steps, batch_size)`` for one epoch — see
-        :func:`epoch_batch_indices` (the solo trainers consume that function
-        directly, so the schedule logic exists exactly once)."""
-        return epoch_batch_indices(
-            len(self), batch_size, shuffle, rng=rng, drop_last=drop_last
-        )
-
-
 def epoch_batch_indices(
     n: int,
     batch_size: int,

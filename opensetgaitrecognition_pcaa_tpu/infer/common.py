@@ -22,15 +22,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chunk_rows(x: np.ndarray, batch_size: int) -> np.ndarray:
+def chunk_rows(
+    x: np.ndarray, batch_size: int, pad_to_steps: int = 0
+) -> np.ndarray:
     """Pad ``x`` to a multiple of ``batch_size`` (repeating the last row) and
     reshape to ``(steps, batch_size, ...)`` — THE chunking policy of
     ``batched_apply``. Aux per-sample arrays that must stay row-aligned with
     ``x`` through a ``batched_apply`` scan (e.g. the ORCED CRN replay's eps
     stream, ``infer/orced.py::_orced_pass``) must be chunked with this same
-    function."""
+    function (including ``pad_to_steps``).
+
+    ``pad_to_steps``: pad up to at least this many chunks (ignored if the
+    natural count is already larger). Callers running several splits of
+    different sizes through the same ``fn`` pad all of them to the LARGEST
+    split's step count so every pass reuses ONE compiled scan — each
+    distinct step count is otherwise a separate XLA compile over the axon
+    tunnel (the dominant cost of full-dims ORCED TPU inference; breakdown
+    in PERF_ROOFLINE.md)."""
     n = x.shape[0]
-    steps = -(-n // batch_size)
+    steps = max(-(-n // batch_size), pad_to_steps)
     pad = steps * batch_size - n
     xp = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
     return np.asarray(xp).reshape((steps, batch_size) + x.shape[1:])
@@ -42,6 +52,7 @@ def batched_apply(
     batch_size: int = 256,
     params: Any = None,
     with_index: bool = False,
+    pad_to_steps: int = 0,
 ):
     """Apply ``fn(chunk, params)`` over ``x`` in fixed-size chunks inside one
     jitted scan.
@@ -67,7 +78,7 @@ def batched_apply(
     in a process-lifetime cache.
     """
     n = x.shape[0]
-    xp = jnp.asarray(chunk_rows(np.asarray(x), batch_size))
+    xp = jnp.asarray(chunk_rows(np.asarray(x), batch_size, pad_to_steps))
     outs = jax.device_get(_runner(fn, with_index)(xp, params))
     return tuple(o.reshape((-1,) + o.shape[2:])[:n] for o in outs)
 

@@ -34,9 +34,14 @@ def _backbone_eval(
     x: jnp.ndarray,
     dilations,
     use_pallas: bool,
+    precision=None,
 ) -> jnp.ndarray:
     """Shared eval-mode GaitBackbone: fused PointNet+pool → folded TCN →
-    time pooling. ``(B, T, N, C) → (B, filters[-1])``."""
+    time pooling. ``(B, T, N, C) → (B, filters[-1])``.
+
+    ``precision`` reaches every matmul/conv: on TPU, DEFAULT runs f32
+    operands through single bf16 MXU passes; HIGHEST keeps full f32 — the
+    decision-exact inference setting (see ``_pointnet_kernel`` note)."""
     bb_p = params["GaitBackbone_0"]
     bb_s = stats["GaitBackbone_0"]
 
@@ -45,7 +50,7 @@ def _backbone_eval(
         bb_p["PointNetBlock_0"], bb_s["PointNetBlock_0"]
     )
     if use_pallas:
-        h = pointnet_pool_infer(x, folded_pn)  # (B, T, D)
+        h = pointnet_pool_infer(x, folded_pn, precision)  # (B, T, D)
     else:
         hh = x.astype(jnp.float32)
         for i in range(1, 5):
@@ -55,6 +60,7 @@ def _backbone_eval(
                     hh,
                     folded_pn[f"w{i}"],
                     preferred_element_type=jnp.float32,
+                    precision=precision,
                 )
                 + folded_pn[f"b{i}"]
             )
@@ -87,6 +93,7 @@ def _backbone_eval(
             padding="VALID",
             rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=precision,
         )
         h = jax.nn.elu(h + folded_b)
 
@@ -100,6 +107,7 @@ def fused_encoder_apply(
     dilations=(1, 2, 4, 1, 2, 4),
     use_projection_head: bool,
     use_pallas: bool = True,
+    precision=None,
 ):
     """Eval-mode CGEncoder forward → (logits, sup_fv).
 
@@ -107,19 +115,22 @@ def fused_encoder_apply(
         ``<NAME>_E.msgpack``.
     :param use_pallas: route the PointNet stack through the fused kernel
         (set False on hosts without a TPU/interpreter).
+    :param precision: matmul/conv precision; ``"highest"`` gives CPU-exact
+        f32 decisions on TPU (see ``_backbone_eval``).
     """
     params = enc_vars["params"]
     feats = _backbone_eval(
-        params, enc_vars["batch_stats"], x, dilations, use_pallas
+        params, enc_vars["batch_stats"], x, dilations, use_pallas, precision
     )
+    dot = lambda a, b: jnp.dot(a, b, precision=precision)  # noqa: E731
     sup1 = params["MLP_sup1"]
-    sup_fv = jax.nn.elu(feats @ sup1["kernel"] + sup1["bias"])
+    sup_fv = jax.nn.elu(dot(feats, sup1["kernel"]) + sup1["bias"])
     hh = sup_fv
     if use_projection_head:
         head = params["MLP_head"]
-        hh = jax.nn.elu(hh @ head["kernel"] + head["bias"])
+        hh = jax.nn.elu(dot(hh, head["kernel"]) + head["bias"])
     sup2 = params["MLP_sup2"]
-    logits = jax.nn.elu(hh @ sup2["kernel"] + sup2["bias"])
+    logits = jax.nn.elu(dot(hh, sup2["kernel"]) + sup2["bias"])
     return logits, sup_fv
 
 
@@ -130,6 +141,7 @@ def fused_orced_encoder_apply(
     *,
     dilations=(1, 2, 4, 1, 2, 4),
     use_pallas: bool = True,
+    precision=None,
 ):
     """Eval-mode ORCEDEncoder forward → (logits, z, mu, logvar).
 
@@ -140,14 +152,16 @@ def fused_orced_encoder_apply(
     """
     params = enc_vars["params"]
     feats = _backbone_eval(
-        params, enc_vars["batch_stats"], x, dilations, use_pallas
+        params, enc_vars["batch_stats"], x, dilations, use_pallas, precision
     )
-    mu = feats @ params["MLP_mu"]["kernel"] + params["MLP_mu"]["bias"]
+    dot = lambda a, b: jnp.dot(a, b, precision=precision)  # noqa: E731
+    mu = dot(feats, params["MLP_mu"]["kernel"]) + params["MLP_mu"]["bias"]
     logvar = (
-        feats @ params["MLP_logvar"]["kernel"] + params["MLP_logvar"]["bias"]
+        dot(feats, params["MLP_logvar"]["kernel"])
+        + params["MLP_logvar"]["bias"]
     )
     eps = jax.random.normal(key, logvar.shape)
     z = mu + eps * jnp.exp(0.5 * logvar)
     cls = params["MLP_classification"]
-    logits = z @ cls["kernel"] + cls["bias"]
+    logits = dot(z, cls["kernel"]) + cls["bias"]
     return logits, z, mu, logvar

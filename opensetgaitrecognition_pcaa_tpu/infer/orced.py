@@ -25,6 +25,7 @@ Parity quirk kept: the latent "covariance" passed to the cdf is
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Dict, NamedTuple, Optional, Sequence
@@ -138,7 +139,8 @@ def orced_ensemble_ood_detection(
 
 
 def _orced_pass(
-    encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128, eps=None
+    encoder, decoder, enc_vars, dec_vars, x, key, batch_size=128, eps=None,
+    precision: Optional[str] = "highest", pad_to_steps: int = 0,
 ):
     """Batched eval pass → (preds, latents, per-sample rec errors).
 
@@ -160,23 +162,42 @@ def _orced_pass(
 
         assert eps.shape[0] == x.shape[0], (eps.shape, x.shape)
         # chunked by batched_apply's OWN policy → rows stay aligned with x
-        eps_chunks = chunk_rows(np.asarray(eps, np.float32), batch_size)
+        eps_chunks = chunk_rows(
+            np.asarray(eps, np.float32), batch_size, pad_to_steps
+        )
 
     # key and eps ride through params (traced jit arguments) so fwd itself
     # is a stable per-(modules, platform, replay-mode) object — repeated
     # same-shape passes (the twin tools' seed loops call this three times
     # per seed) reuse the cached XLA compile (infer/common.py::_runner)
-    fwd = _orced_fwd(encoder, decoder, on_tpu, eps_chunks is not None)
-    preds, zs, res = batched_apply(
-        fwd, x, batch_size, params=(enc_vars, dec_vars, eps_chunks, key),
-        with_index=True,
+    fwd = _orced_fwd(encoder, decoder, on_tpu, eps_chunks is not None,
+                     precision)
+    # default_matmul_precision reaches the ops that take no explicit
+    # precision arg (flax encoder/decoder applies, XLA chamfer); it must be
+    # active at TRACE time, which is safe here because fwd is cached PER
+    # precision value — each setting gets its own runner/compile.
+    ctx = (
+        jax.default_matmul_precision(precision)
+        if precision is not None
+        else contextlib.nullcontext()
     )
+    with ctx:
+        preds, zs, res = batched_apply(
+            fwd, x, batch_size, params=(enc_vars, dec_vars, eps_chunks, key),
+            with_index=True, pad_to_steps=pad_to_steps,
+        )
     return preds.astype(np.int64), zs, res
 
 
 @functools.lru_cache(maxsize=32)
-def _orced_fwd(encoder, decoder, on_tpu: bool, has_eps: bool):
-    """Stable forward closure for ``_orced_pass`` (see its docstring)."""
+def _orced_fwd(encoder, decoder, on_tpu: bool, has_eps: bool,
+               precision: Optional[str] = None):
+    """Stable forward closure for ``_orced_pass`` (see its docstring).
+
+    ``precision`` is pinned per closure (it keys this cache) and applied via
+    ``jax.default_matmul_precision`` in ``_orced_pass``, so it reaches the
+    flax encoder (eps-replay path), the decoder and the Chamfer matmuls; the
+    fused TPU trunk takes it explicitly."""
     from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
         fused_orced_encoder_apply,
     )
@@ -194,7 +215,7 @@ def _orced_fwd(encoder, decoder, on_tpu: bool, has_eps: bool):
             )
         elif on_tpu:
             logits, z, mu, logvar = fused_orced_encoder_apply(
-                e_vars, chunk, k, use_pallas=True
+                e_vars, chunk, k, use_pallas=True, precision=precision
             )
         else:
             logits, z, mu, logvar = encoder.apply(
@@ -347,20 +368,32 @@ def orced_inference(
         x_tr, y_tr = ds_train.load_all()
         x_tr, y_tr = reorder(ds_train, x_tr, y_tr, "train")
         n_keep = (len(y_tr) // batch_size) * batch_size
+
+        # Pad all three split scans to ONE step count so they share a single
+        # compiled executable — each distinct scan length is a separate XLA
+        # compile (~80 s over the axon tunnel at full dims; was 3 compiles =
+        # the bulk of the round-4 276 s ORCED TPU inference).
+        x_te, y_te = ds_test.load_all()
+        x_te, y_te = reorder(ds_test, x_te, y_te, "test")
+        x_un, y_un = ds_unseen.load_all()
+        x_un, y_un = reorder(ds_unseen, x_un, y_un, "unseen")
+        steps = max(
+            -(-n // batch_size) for n in (n_keep, len(y_te), len(y_un))
+        )
+
         tr_preds, tr_z, tr_re = _orced_pass(
             encoder, decoder, enc_vars, dec_vars, x_tr[:n_keep], key_tr,
             batch_size, eps=None if eps_tr is None else eps_tr[:n_keep],
+            pad_to_steps=steps,
         )
         gt_labels = y_tr[:n_keep].astype(np.int64)
         n_labels = len(np.unique(gt_labels))
         thresholds_g = 0.95  # inference_ORCED.py:310
 
         # seen test set
-        x_te, y_te = ds_test.load_all()
-        x_te, y_te = reorder(ds_test, x_te, y_te, "test")
         te_preds, te_z, te_re = _orced_pass(
             encoder, decoder, enc_vars, dec_vars, x_te, key_te, batch_size,
-            eps=eps_te,
+            eps=eps_te, pad_to_steps=steps,
         )
         # per-class train stats once — identical inputs for both splits
         # (orced_ensemble_ood_detection would redo this K-class pass twice)
@@ -371,11 +404,9 @@ def orced_inference(
 
         # unseen set: leave out the first-encountered subject (fairness vs
         # PCAA's validation subject); batch-level filter by first label.
-        x_un, y_un = ds_unseen.load_all()
-        x_un, y_un = reorder(ds_unseen, x_un, y_un, "unseen")
         un_preds, un_z, un_re = _orced_pass(
             encoder, decoder, enc_vars, dec_vars, x_un, key_un, batch_size,
-            eps=eps_un,
+            eps=eps_un, pad_to_steps=steps,
         )
         leave_out = int(y_un[0])
         keep = []

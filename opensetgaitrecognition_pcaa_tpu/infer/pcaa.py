@@ -107,27 +107,42 @@ def pcaa_inference_setup(
     return cfg, encoder, enc_vars, means
 
 
-def _encode_split(encoder, enc_vars, dataset: RadarCropDataset, batch_size=256):
+def _encode_split(
+    encoder, enc_vars, dataset: RadarCropDataset, batch_size=256,
+    precision: Optional[str] = "highest", use_pallas: bool = True,
+):
     """→ (latents (n, d), argmax predictions (n,)) for a whole split.
 
     On TPU the forward routes through the fused Pallas eval encoder
     (``infer/fast_encoder.py``); the flax apply is the CPU fallback — both
     are float-tolerance identical (tested).
+
+    ``precision`` and ``use_pallas`` apply on TPU only. The default is
+    ``"highest"`` (full-f32 MXU passes): DEFAULT precision's single-bf16-pass
+    matmuls perturb latents enough to flip knife-edge open-set decisions vs
+    the CPU/torch f32 reference at full dims (12/927 in round 4; the round-5
+    attribution matrix in DECISION_PARITY.md isolates precision — not the
+    Pallas kernel — as the cause). The eval pass stays tunnel-dispatch-bound,
+    so "highest" costs little here; latency-critical serving paths keep
+    DEFAULT (``infer/serving.py`` module docstring).
     """
     x, _ = dataset.load_all()
     on_tpu = jax.devices()[0].platform != "cpu"
-    fwd = _encode_fn(encoder, on_tpu)
+    fwd = _encode_fn(encoder, on_tpu, precision, use_pallas)
     fvs, preds = batched_apply(fwd, x, batch_size, params=enc_vars)
     return fvs, preds.astype(np.int64)
 
 
 @functools.lru_cache(maxsize=32)
-def _encode_fn(encoder, on_tpu: bool):
-    """Stable per-(encoder, platform) forward closure, so repeated
-    ``batched_apply`` calls (seed loops in the parity tools) hit the cached
-    XLA compile (``infer/common.py::_runner``) instead of re-tracing.
-    Flax modules hash by their field values, so equal-config encoders from
-    separate ``pcaa_inference_setup`` calls share one entry."""
+def _encode_fn(
+    encoder, on_tpu: bool, precision: Optional[str] = None,
+    use_pallas: bool = True,
+):
+    """Stable per-(encoder, platform, precision, kernel-path) forward
+    closure, so repeated ``batched_apply`` calls (seed loops in the parity
+    tools) hit the cached XLA compile (``infer/common.py::_runner``) instead
+    of re-tracing. Flax modules hash by their field values, so equal-config
+    encoders from separate ``pcaa_inference_setup`` calls share one entry."""
     from opensetgaitrecognition_pcaa_tpu.infer.fast_encoder import (
         fused_encoder_apply,
     )
@@ -138,7 +153,8 @@ def _encode_fn(encoder, on_tpu: bool):
                 variables,
                 chunk,
                 use_projection_head=encoder.use_projection_head,
-                use_pallas=True,
+                use_pallas=use_pallas,
+                precision=precision,
             )
         else:
             logits, fv = encoder.apply(variables, chunk, train=False)
@@ -215,10 +231,13 @@ def calibrate_open_set(
     scenarios_list: Sequence[SCENARIO] = ALL_SCENARIOS,
     seed: int = 0,
     unseen_valid_ratio: float = 0.2,
+    precision: Optional[str] = "highest",
+    use_pallas: bool = True,
 ) -> OpenSetCalibration:
     """Score the sequential TEST/UNSEEN splits and pick the rejection
     threshold (reference ``inference_PCAA.py:195-231`` — steps 1–3 of the
-    module docstring)."""
+    module docstring). ``precision``/``use_pallas`` select the TPU encoder
+    path (``_encode_split``); CPU ignores both."""
     rng = np.random.default_rng(seed)
 
     ds_test = RadarCropDataset(
@@ -229,8 +248,13 @@ def calibrate_open_set(
     )
 
     # --- single batched encoder pass per split -------------------------
-    test_fvs, test_preds = _encode_split(encoder, enc_vars, ds_test)
-    unseen_fvs, unseen_preds = _encode_split(encoder, enc_vars, ds_unseen)
+    test_fvs, test_preds = _encode_split(
+        encoder, enc_vars, ds_test, precision=precision, use_pallas=use_pallas
+    )
+    unseen_fvs, unseen_preds = _encode_split(
+        encoder, enc_vars, ds_unseen, precision=precision,
+        use_pallas=use_pallas,
+    )
 
     # underflow_tied: scores whose linear-space pdf underflows to 0.0 are
     # tied in the reference's roc_curve — replicate those ties so log-space

@@ -20,6 +20,7 @@ cannot fuse this way.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -54,12 +55,19 @@ def _elu(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
+def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
+                     precision=None):
     """8 frames per step: (8, N, C) → pooled (8, D).
 
     The 8 frames' points are flattened into one (8·N, C) row block so each
     layer is a single MXU matmul; the per-frame mean is a reshape + axis
     reduction at the end, all in VMEM.
+
+    ``precision``: forwarded to the MXU matmuls. DEFAULT runs f32 operands
+    through single bf16 passes (fast); HIGHEST runs the full-f32 multi-pass
+    schedule — used by the exact-parity inference path (bf16-pass rounding
+    perturbs latents enough to flip knife-edge open-set decisions vs the
+    CPU f32 reference; attribution matrix in DECISION_PARITY.md).
     """
     frames, n, c = x_ref.shape
     h = x_ref[:].reshape(frames * n, c)
@@ -69,6 +77,7 @@ def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref):
             w[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         h = _elu(h + b[:])
     out_ref[:] = jnp.mean(h.reshape(frames, n, -1), axis=1)
@@ -99,7 +108,9 @@ def fits_vmem(n: int, c: int, d: int, fps: int = _FRAMES_PER_STEP) -> bool:
     return fps * n * d * 4 <= _WORKSET_BUDGET_BYTES
 
 
-def _pointnet_pool_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def _pointnet_pool_xla(
+    x: jnp.ndarray, folded: Dict[str, jnp.ndarray], precision=None
+) -> jnp.ndarray:
     """Folded-XLA fallback: identical math, per-layer activations in HBM."""
     h = x.astype(jnp.float32)
     for i in range(1, 5):
@@ -109,6 +120,7 @@ def _pointnet_pool_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.nd
                 h,
                 folded[f"w{i}"].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             )
             + folded[f"b{i}"].astype(jnp.float32)
         )
@@ -116,7 +128,7 @@ def _pointnet_pool_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.nd
 
 
 def pointnet_pool_infer(
-    x: jnp.ndarray, folded: Dict[str, jnp.ndarray]
+    x: jnp.ndarray, folded: Dict[str, jnp.ndarray], precision=None
 ) -> jnp.ndarray:
     """Fused eval PointNet+pool: ``(B, T, N, C) → (B, T, D)``.
 
@@ -133,7 +145,7 @@ def pointnet_pool_infer(
     # N falls back everywhere — same math either way.
     on_hw = jax.devices()[0].platform != "cpu"
     if (on_hw and f_steps < _MIN_GRID_STEPS) or not fits_vmem(n, c, d):
-        return _pointnet_pool_xla(x, folded)
+        return _pointnet_pool_xla(x, folded, precision)
     f = b * t
     fps = _FRAMES_PER_STEP
     f_pad = -(-f // fps) * fps
@@ -155,7 +167,7 @@ def pointnet_pool_infer(
         weight_args += [w, bb]
 
     out = pl.pallas_call(
-        _pointnet_kernel,
+        functools.partial(_pointnet_kernel, precision=precision),
         grid=(f_pad // fps,),
         in_specs=[
             pl.BlockSpec(

@@ -276,10 +276,14 @@ def _staged_run_dir(final_dir: str):
 
     Crash-safety (advisor round 3): the stage is PID-suffixed so two
     concurrent imports of the same run name cannot rmtree each other's
-    in-progress stage; callers write ``config.json`` LAST (so a
-    SIGKILL-orphaned stage never parses as a run folder); and promotion
-    renames the old run aside before renaming the stage in — the unsafe
-    window is one rename, not a full recursive delete."""
+    in-progress stage; callers write ``config.json`` LAST, which shrinks
+    (not closes — advisor round 4) the orphan window: a SIGKILL between
+    the ``config.json`` write and promotion leaves ``NAME.importing.<pid>``
+    (or ``NAME.replaced``) holding a config.json, so run-folder scans must
+    skip names containing ``.importing.`` / ending ``.replaced`` (the
+    campaign drivers and collectors do). Promotion renames the old run
+    aside before renaming the stage in — the unsafe window is one rename,
+    not a full recursive delete."""
     stage = f"{final_dir}.importing.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)

@@ -15,6 +15,7 @@ import pytest
 from opensetgaitrecognition_pcaa_tpu.config import SCENARIO, SPLIT
 from opensetgaitrecognition_pcaa_tpu.data.dataset import (
     RadarCropDataset,
+    epoch_batch_indices,
     parse_crop_filename,
 )
 from opensetgaitrecognition_pcaa_tpu.data.preprocess import (
@@ -268,11 +269,11 @@ class TestRadarCropDataset:
         assert x.shape == (len(ds), 12, 64, 4)
         assert x.dtype == np.float32 and y.dtype == np.int32
 
-    def test_epoch_batches(self, generated_splits):
+    def test_epoch_batch_indices(self, generated_splits):
         gen, _ = generated_splits
         ds = RadarCropDataset(SPLIT.TRAIN, gen)
         rng = np.random.default_rng(0)
-        idx = ds.epoch_batches(4, shuffle=True, rng=rng)
+        idx = epoch_batch_indices(len(ds), 4, shuffle=True, rng=rng)
         assert idx.shape[1] == 4
         assert idx.shape[0] == len(ds) // 4
         assert len(np.unique(idx)) == idx.size  # no repeats with drop_last

@@ -93,11 +93,18 @@ def main():
         pcaa_inference,
     )
 
+    # skip importer staging/backup dirs (NAME.importing.<pid> / NAME.replaced
+    # can transiently hold a config.json — scripts/import_reference_run.py)
+    def is_run(n):
+        return ".importing." not in n and not n.endswith(".replaced")
+
     pcaa_names = sorted(
-        n for n in os.listdir(models) if n.startswith("PCAA_Abl2_")
+        n for n in os.listdir(models)
+        if n.startswith("PCAA_Abl2_") and is_run(n)
     )
     orced_names = sorted(
-        n for n in os.listdir(models) if n.startswith("ORCED_")
+        n for n in os.listdir(models)
+        if n.startswith("ORCED_") and is_run(n)
     )
     log(f"inference over {len(pcaa_names)} PCAA + {len(orced_names)} ORCED")
 

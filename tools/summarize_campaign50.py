@@ -45,6 +45,8 @@ def main():
     models = os.path.join(os.path.dirname(path), "models")
     vaccs = []
     for run in sorted(os.listdir(models)):
+        if ".importing." in run or run.endswith(".replaced"):
+            continue  # importer staging/backup dirs (import_reference_run.py)
         f = os.path.join(models, run, "run_complete.json")
         if run.startswith("PCAA_") and os.path.exists(f):
             d = json.load(open(f))
