@@ -241,3 +241,59 @@ class TestORCEDDecisionParity:
             re_tr, f_tr, thr_g, gt, pred_tr, pred_te, z_te, re_te
         )
         np.testing.assert_array_equal(got, ref_out)
+
+
+class TestTwinAggregateStats:
+    def test_tost_matches_scipy_one_sided_ttests(self):
+        # oracle: the standard TOST is the max of two one-sided one-sample
+        # t tests against the margin endpoints — scipy's ttest_1samp with
+        # explicit alternatives is an independent formulation of the same
+        # statistic (tools/parity_twin.py computes it from sf/cdf directly)
+        import numpy as np
+        from scipy import stats
+
+        from tools.parity_twin import _per_seed_means, _tost
+
+        rng = np.random.default_rng(0)
+        for margin, loc, scale in [
+            (0.005, 0.0, 0.002),
+            (0.005, 0.004, 0.01),
+            (0.01, -0.02, 0.005),
+        ]:
+            x = rng.normal(loc, scale, size=25)
+            got = _tost(x, margin)
+            p1 = stats.ttest_1samp(x, -margin, alternative="greater").pvalue
+            p2 = stats.ttest_1samp(x, margin, alternative="less").pvalue
+            assert abs(got["p"] - max(p1, p2)) < 1e-12
+            assert got["n"] == 25
+
+        # equivalence concluded on a tight zero-mean sample
+        x = rng.normal(0.0, 0.001, size=40)
+        assert _tost(x, 0.005)["p"] < 0.05
+        # too few samples -> None
+        assert _tost(np.array([0.1, 0.2]), 0.005) is None
+
+    def test_per_seed_means_collapses_k_cells(self):
+        from tools.parity_twin import _per_seed_means
+
+        rows = [
+            dict(seed=3, v=1.0),
+            dict(seed=1, v=2.0),
+            dict(seed=3, v=3.0),
+        ]
+        assert _per_seed_means(rows, lambda r: r["v"]) == [2.0, 2.0]
+
+    def test_wilcoxon_greater_matches_scipy(self):
+        import numpy as np
+        from scipy import stats
+
+        from tools.parity_twin import _wilcoxon_greater
+
+        rng = np.random.default_rng(1)
+        a = np.abs(rng.normal(0.01, 0.01, size=20))
+        b = np.abs(rng.normal(0.005, 0.01, size=20))
+        got = _wilcoxon_greater(a, b)
+        want = stats.wilcoxon(a, b, alternative="greater").pvalue
+        assert abs(got["p"] - want) < 1e-12
+        assert _wilcoxon_greater(a[:4], b[:4]) is None
+        assert _wilcoxon_greater(a, a) is None  # all ties

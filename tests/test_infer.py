@@ -87,6 +87,28 @@ class TestPCAAInference:
         assert set(agg_log) == {"1", "2"} or set(agg_log) == {1, 2}
         assert logs["INF_V4.3.1"][1]["f1_micro"] >= 0
 
+    def test_calibration_precision_knobs_cpu_identical(self, trained_v4):
+        # precision / use_pallas select TPU eval paths (the round-5
+        # attribution matrix, tools/decision_parity_full.py); on CPU every
+        # combination must route to the same flax apply and agree exactly.
+        from opensetgaitrecognition_pcaa_tpu.infer.pcaa import (
+            calibrate_open_set,
+            pcaa_inference_setup,
+        )
+
+        cfg = trained_v4
+        c, e, v, m = pcaa_inference_setup(
+            "INF_V4.3.1", VARIATION.V4, models_path=cfg.MODELS_PATH,
+            generate_dataset=False,
+        )
+        cal_hi = calibrate_open_set(e, v, m, c, seed=0, precision="highest")
+        cal_df = calibrate_open_set(
+            e, v, m, c, seed=0, precision=None, use_pallas=False
+        )
+        np.testing.assert_array_equal(cal_hi.test_ll, cal_df.test_ll)
+        np.testing.assert_array_equal(cal_hi.unseen_ll, cal_df.unseen_ll)
+        assert cal_hi.log_threshold == cal_df.log_threshold
+
     def test_unknown_windows_present(self, trained_v4):
         # The unseen split feeds windows labelled n_classes.
         cfg = trained_v4
@@ -228,6 +250,27 @@ class TestBatchedApply:
         a, b = batched_apply(fn, x, batch_size=4, params=np.float32(1.0))
         np.testing.assert_array_equal(a, x * 2.0)
         np.testing.assert_array_equal(b, x + 1.0)
+
+    def test_pad_to_steps_values_identical(self):
+        # pad_to_steps exists so differently-sized splits share ONE compiled
+        # scan (full-dims ORCED TPU inference, infer/orced.py) — it must not
+        # change any returned row, and chunk_rows must honor the floor.
+        from opensetgaitrecognition_pcaa_tpu.infer.common import (
+            batched_apply,
+            chunk_rows,
+        )
+
+        x = np.arange(10, dtype=np.float32).reshape(10, 1)
+        assert chunk_rows(x, 4, pad_to_steps=7).shape == (7, 4, 1)
+        assert chunk_rows(x, 4, pad_to_steps=2).shape == (3, 4, 1)  # natural
+
+        def fn(chunk, params):
+            return (chunk * 3.0,)
+
+        (a,) = batched_apply(fn, x, batch_size=4, params=None)
+        (b,) = batched_apply(fn, x, batch_size=4, params=None, pad_to_steps=7)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(b, x * 3.0)
 
     def test_runner_reused_for_stable_fn_and_collectable_for_dropped(self):
         # Stable fn objects must hit the same compiled runner (seed loops in
