@@ -377,9 +377,16 @@ def pcaa_inference(
     scenarios_list: Sequence[SCENARIO] = ALL_SCENARIOS,
     variation: Optional[VARIATION] = None,
     generate_dataset: bool = True,
+    dump_calibration: bool = False,
 ) -> Dict:
     """Driver over runs × voting-window sizes
-    (reference ``CGAAE_inference``, ``inference_PCAA.py:382-469``)."""
+    (reference ``CGAAE_inference``, ``inference_PCAA.py:382-469``).
+
+    ``dump_calibration``: also write the per-crop calibration arrays
+    (scores, threshold, predictions, val mask) to
+    ``<model_folder>/calibration.npz`` — the parity harnesses use it to
+    attribute window-level decision flips to their member crops'
+    |score − threshold| margins without re-encoding the splits."""
     if force_pc_subsampling and tuple(scenarios_list) != ALL_SCENARIOS:
         raise ValueError(
             "force_pc_subsampling and scenarios_list cannot both be non-default"
@@ -412,6 +419,11 @@ def pcaa_inference(
             seed=0,
             unseen_valid_ratio=0.2,
         )
+        if dump_calibration:
+            np.savez(
+                os.path.join(model_folder, "calibration.npz"),
+                **cal._asdict(),
+            )
         for k in ks:
             metrics, final_preds, final_labels = naive_sequential_procedure(
                 k,

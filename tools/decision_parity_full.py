@@ -238,6 +238,19 @@ def phase_compare(args):
         "ks": args.ks,
         "train_classes": list(TRAIN_CLASSES),
     }
+    if args.merge_report:
+        # start from the existing report so a partial re-run (e.g. a margin
+        # re-measurement of one k with --no-orced --no-tpu) refreshes only
+        # the sections it actually recomputes
+        existing = os.path.join(REPO, "DECISION_PARITY_FULL.json")
+        if os.path.isfile(existing):
+            with open(existing) as f:
+                old = json.load(f)
+            old.update(report)
+            old["ks"] = sorted(
+                set(old.get("ks", [])) | set(args.ks), reverse=True
+            )
+            report = old
     if os.path.isfile(os.path.join(P["workdir"], "train_wall.json")):
         with open(os.path.join(P["workdir"], "train_wall.json")) as f:
             report["train_wall_s"] = json.load(f)
@@ -275,6 +288,7 @@ def phase_compare(args):
             figures_path=P["fw_figs"],
             variation=VARIATION.V4,
             generate_dataset=False,
+            dump_calibration=True,
         )
         fw_s = time.time() - t0
         fw_preds = np.load(
@@ -287,6 +301,32 @@ def phase_compare(args):
         )
         head = agreement(fw_map, ref_map)
         n_cls = len(TRAIN_CLASSES)
+
+        # margin attribution of any disagreements: the framework's per-crop
+        # |score − threshold| margins for every crop whose window decision
+        # differs (one near-threshold member can flip an entire k-window;
+        # the npz is this k's calibration as dumped by pcaa_inference on
+        # THIS k's regenerated crops)
+        cal_k = dict(
+            np.load(os.path.join(P["fw_models"], PCAA_NAME, "calibration.npz"))
+        )
+        cal_k["log_threshold"] = float(cal_k["log_threshold"])
+        cal_k["n_labels"] = int(cal_k["n_labels"])
+        ll_all = np.concatenate([cal_k["test_ll"], cal_k["unseen_ll"]])
+        files_all = list(fw_test.filenames) + list(fw_unseen.filenames)
+        pos = {f: i for i, f in enumerate(files_all)}
+        margin = ll_all - cal_k["log_threshold"]
+        disagree = sorted(
+            f for f in set(fw_map) & set(ref_map) if fw_map[f] != ref_map[f]
+        )
+        dis_margins = [
+            dict(crop=f, fw_margin=float(margin[pos[f]]),
+                 ref=int(ref_map[f]), fw=int(fw_map[f]))
+            for f in disagree
+        ]
+        finite = np.isfinite(margin)
+        median_abs_margin = float(np.median(np.abs(margin[finite])))
+
         row = dict(
             k=k,
             crop_agreement=head,
@@ -296,6 +336,9 @@ def phase_compare(args):
             n_windows_fw=len(fw_preds),
             ref_inference_s=ref_s,
             fw_inference_s=fw_s,
+            n_disagree_crops=len(disagree),
+            disagree_margins=dis_margins,
+            median_abs_margin=median_abs_margin,
         )
         pcaa_rows.append(row)
         print(
@@ -307,27 +350,20 @@ def phase_compare(args):
             # regenerated by THIS k's reference pass) to the TPU subprocess,
             # plus the framework's CPU calibration scores — the baseline the
             # TPU attribution configs are measured against (per-crop score
-            # deltas, threshold movement, flip margins).
-            from opensetgaitrecognition_pcaa_tpu.infer.pcaa import (
-                calibrate_open_set,
-                pcaa_inference_setup,
-            )
-
-            cfg_i, enc_i, vars_i, means_i = pcaa_inference_setup(
-                PCAA_NAME,
-                VARIATION.V4,
-                models_path=P["fw_models"],
-                generate_dataset=False,
-            )
-            cal_cpu = calibrate_open_set(
-                enc_i, vars_i, means_i, cfg_i, seed=0, unseen_valid_ratio=0.2
-            )
+            # deltas, threshold movement, flip margins). cal_k IS this k's
+            # calibration (dumped above by the same pcaa_inference call).
             with open(P["state_pcaa"], "wb") as f:
                 pickle.dump(
                     dict(k=k, ref_map=ref_map, val_subjects=val_subjects,
-                         fw_map_cpu=fw_map, cal_cpu=cal_cpu._asdict()),
+                         fw_map_cpu=fw_map, cal_cpu=cal_k),
                     f,
                 )
+    if args.merge_report and "pcaa_cpu" in report:
+        done_ks = {r["k"] for r in pcaa_rows}
+        pcaa_rows = [
+            r for r in report["pcaa_cpu"] if r["k"] not in done_ks
+        ] + pcaa_rows
+        pcaa_rows.sort(key=lambda r: -r["k"])
     report["pcaa_cpu"] = pcaa_rows
     if not args.no_tpu and spawn_tpu_phase("tpu-pcaa", P["workdir"]):
         with open(P["tpu_pcaa"]) as f:
@@ -671,16 +707,36 @@ def write_report(report):
         "`scripts/export_reference_run.py`, and scored by the reference's own",
         "inference drivers on CPU.\n",
         "### PCAA\n",
-        "| k | ref-vs-fw(CPU) crop agreement | n crops | unknown rate (ref / fw) | ref / fw inference s |",
-        "|---|---|---|---|---|",
+        "| k | ref-vs-fw(CPU) crop agreement | n crops | disagreeing crops "
+        "(max \\|margin\\| / split median) | unknown rate (ref / fw) | "
+        "ref / fw inference s |",
+        "|---|---|---|---|---|---|",
     ]
     for r in report.get("pcaa_cpu", []):
         h = r["crop_agreement"]
+        if r.get("disagree_margins"):
+            worst = max(abs(m["fw_margin"]) for m in r["disagree_margins"])
+            dis = (
+                f"{r['n_disagree_crops']} "
+                f"({worst:.3g} / {r['median_abs_margin']:.3g})"
+            )
+        elif "n_disagree_crops" in r:
+            dis = "0"
+        else:
+            dis = "—"
         md.append(
-            f"| {r['k']} | {h['agree']:.4f} | {h['n_common']} | "
+            f"| {r['k']} | {h['agree']:.4f} | {h['n_common']} | {dis} | "
             f"{r['unknown_rate_ref']:.4f} / {r['unknown_rate_fw']:.4f} | "
             f"{r['ref_inference_s']:.0f} / {r['fw_inference_s']:.0f} |"
         )
+    md += [
+        "",
+        "Disagreeing crops are members of k-windows whose vote flipped; the",
+        "margin column shows the largest framework-side |score − threshold|",
+        "among them against the split's median |margin| — knife-edge members",
+        "flip whole windows at k > 1 (reference loop",
+        "`inference_PCAA.py:241-314`).",
+    ]
     if "pcaa_tpu" in report:
         t = report["pcaa_tpu"]
         md += [
@@ -795,6 +851,13 @@ def main():
     p.add_argument("--no-orced", action="store_true")
     p.add_argument("--no-tpu", action="store_true")
     p.add_argument(
+        "--merge-report",
+        action="store_true",
+        help="update DECISION_PARITY_FULL.json in place: keep sections and "
+        "pcaa rows (for other ks) from the existing report instead of "
+        "overwriting — for partial re-runs",
+    )
+    p.add_argument(
         "--skip-train",
         action="store_true",
         help="reuse existing trained runs in the workdir (re-exports only)",
@@ -826,6 +889,8 @@ def main():
             cmp_cmd.append("--no-orced")
         if args.no_tpu:
             cmp_cmd.append("--no-tpu")
+        if args.merge_report:
+            cmp_cmd.append("--merge-report")
         r = subprocess.run(cmp_cmd, cwd=REPO)
         sys.exit(r.returncode)
 
