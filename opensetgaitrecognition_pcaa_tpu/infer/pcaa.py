@@ -120,11 +120,13 @@ def _encode_split(
     ``precision`` and ``use_pallas`` apply on TPU only. The default is
     ``"highest"`` (full-f32 MXU passes): DEFAULT precision's single-bf16-pass
     matmuls perturb latents enough to flip knife-edge open-set decisions vs
-    the CPU/torch f32 reference at full dims (12/927 in round 4; the round-5
+    the CPU/torch f32 reference at full dims (12/927 in round 4; the
     attribution matrix in DECISION_PARITY.md isolates precision — not the
-    Pallas kernel — as the cause). The eval pass stays tunnel-dispatch-bound,
-    so "highest" costs little here; latency-critical serving paths keep
-    DEFAULT (``infer/serving.py`` module docstring).
+    Pallas kernel — as the cause). Under ``"highest"`` the PointNet stage
+    runs the folded-XLA chain (the fused kernel's multi-pass f32 schedule
+    OOMs scoped VMEM — ``ops/pallas/pointnet_infer.py`` guard); the eval
+    pass stays tunnel-dispatch-bound, so the cost is small. Latency-critical
+    serving paths keep DEFAULT (``infer/serving.py`` module docstring).
     """
     x, _ = dataset.load_all()
     on_tpu = jax.devices()[0].platform != "cpu"

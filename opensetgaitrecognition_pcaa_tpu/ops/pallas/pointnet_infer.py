@@ -63,11 +63,11 @@ def _pointnet_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, out_ref, *,
     layer is a single MXU matmul; the per-frame mean is a reshape + axis
     reduction at the end, all in VMEM.
 
-    ``precision``: forwarded to the MXU matmuls. DEFAULT runs f32 operands
-    through single bf16 passes (fast); HIGHEST runs the full-f32 multi-pass
-    schedule — used by the exact-parity inference path (bf16-pass rounding
-    perturbs latents enough to flip knife-edge open-set decisions vs the
-    CPU f32 reference; attribution matrix in DECISION_PARITY.md).
+    ``precision``: forwarded to the MXU matmuls. DEFAULT (single bf16
+    passes) is the only setting that reaches this kernel — HIGHEST is
+    routed to the folded-XLA fallback by ``pointnet_pool_infer`` (the
+    multi-pass f32 schedule OOMs the 16 MiB scoped VMEM at reference dims;
+    see that guard's comment).
     """
     frames, n, c = x_ref.shape
     h = x_ref[:].reshape(frames * n, c)
@@ -127,6 +127,17 @@ def _pointnet_pool_xla(
     return jnp.mean(h, axis=2)
 
 
+def _is_highest(precision) -> bool:
+    """True when ``precision`` requests full-f32 multi-pass MXU matmuls."""
+    if precision is None:
+        return False
+    if isinstance(precision, tuple):
+        return any(_is_highest(p) for p in precision)
+    if isinstance(precision, str):
+        return precision.lower() == "highest"
+    return precision == jax.lax.Precision.HIGHEST
+
+
 def pointnet_pool_infer(
     x: jnp.ndarray, folded: Dict[str, jnp.ndarray], precision=None
 ) -> jnp.ndarray:
@@ -143,8 +154,18 @@ def pointnet_pool_infer(
     # v5e: grids 1-3 → tpu_compile_helper exit 1; 4+ fine) — CPU interpret
     # mode is unaffected, so that guard only bites on hardware. Over-budget
     # N falls back everywhere — same math either way.
+    # HIGHEST precision also falls back: the multi-pass f32 MXU schedule
+    # needs split-operand scratch that ~3×es the kernel's scoped-VMEM
+    # working set (measured: 23.96 MiB vs the 16 MiB limit at the reference
+    # dims N=150/D=1024/8-frame tiles — Mosaic stack OOM at compile), while
+    # the folded-XLA chain takes `precision` natively and the exact-parity
+    # eval pass that requests it is tunnel-dispatch-bound anyway.
     on_hw = jax.devices()[0].platform != "cpu"
-    if (on_hw and f_steps < _MIN_GRID_STEPS) or not fits_vmem(n, c, d):
+    if (
+        (on_hw and f_steps < _MIN_GRID_STEPS)
+        or not fits_vmem(n, c, d)
+        or _is_highest(precision)
+    ):
         return _pointnet_pool_xla(x, folded, precision)
     f = b * t
     fps = _FRAMES_PER_STEP

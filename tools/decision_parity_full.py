@@ -275,9 +275,16 @@ def phase_compare(args):
         )
         ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
         ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
-        ref_map, val_subjects, _, _, _ = reference_pcaa_window_map(
-            ref_test, ref_unseen, ref_preds, k
-        )
+        (
+            ref_map,
+            val_subjects,
+            ref_wins,
+            n_test_wins,
+            ref_test_labels,
+        ) = reference_pcaa_window_map(ref_test, ref_unseen, ref_preds, k)
+        ref_files = [os.path.basename(f) for f in ref_test.filenames] + [
+            os.path.basename(f) for f in ref_unseen.filenames
+        ]
 
         print(f"[full] PCAA k={k}: framework inference (flax, CPU)...")
         t0 = time.time()
@@ -327,9 +334,49 @@ def phase_compare(args):
         finite = np.isfinite(margin)
         median_abs_margin = float(np.median(np.abs(margin[finite])))
 
+        # same-composition re-vote: the framework's per-crop scores voted on
+        # the REFERENCE's window composition (the headline crop agreement at
+        # k > 1 also reflects the documented sequential-ordering deviation —
+        # different crops share a window; this isolates pure numerics, the
+        # statistic the reduced-dims rung reports: tools/decision_parity.py)
+        order = np.array([pos[f] for f in ref_files])
+        ll_r = ll_all[order]
+        pred_r = np.concatenate(
+            [cal_k["test_preds"], cal_k["unseen_preds"]]
+        )[order]
+        lab_r = np.concatenate(
+            [fw_test.labels, fw_unseen.labels]
+        )[order]
+        thr = cal_k["log_threshold"]
+        revote = []
+        for w in ref_wins:
+            n_above = int(np.sum(ll_r[w] > thr))
+            if n_above > k / 2:
+                revote.append(int(np.argmax(np.bincount(pred_r[w]))))
+            else:
+                revote.append(cal_k["n_labels"])
+        assert [int(lab_r[w[0]]) for w in ref_wins[:n_test_wins]] == [
+            int(ref_test_labels[w[0]]) for w in ref_wins[:n_test_wins]
+        ], "window reconstruction misaligned with the reference order"
+        revote = np.array(revote)
+        same_comp = float(np.mean(revote == ref_preds))
+        sc_dis = revote != ref_preds
+        sc_flip_margins = [
+            dict(
+                window=int(i),
+                member_margins=[float(margin[j]) for j in order[ref_wins[i]]],
+                ref=int(ref_preds[i]),
+                fw=int(revote[i]),
+            )
+            for i in np.flatnonzero(sc_dis)
+        ]
+
         row = dict(
             k=k,
             crop_agreement=head,
+            same_composition_window_agreement=same_comp,
+            n_same_composition_flips=int(sc_dis.sum()),
+            same_composition_flip_margins=sc_flip_margins,
             unknown_rate_ref=float(np.mean(ref_preds == n_cls)),
             unknown_rate_fw=float(np.mean(fw_preds == n_cls)),
             n_windows_ref=len(ref_preds),
@@ -343,7 +390,9 @@ def phase_compare(args):
         pcaa_rows.append(row)
         print(
             f"[full] PCAA k={k}: crop agreement {head['agree']:.4f} "
-            f"(n={head['n_common']}), ref {ref_s:.0f}s vs fw {fw_s:.0f}s"
+            f"(n={head['n_common']}), same-composition window agreement "
+            f"{same_comp:.4f} ({int(sc_dis.sum())} flips), "
+            f"ref {ref_s:.0f}s vs fw {fw_s:.0f}s"
         )
         if k == args.ks[-1]:
             # hand the last k's reference decisions (and the on-disk crops, as
@@ -553,9 +602,12 @@ def phase_tpu_pcaa(args):
 
     configs = [
         # (name, use_pallas, precision) — pallas_highest is the shipped
-        # eval default (infer/pcaa.py::_encode_split); pallas_default was
-        # round 4's shipped path (the 12-flip measurement); the xla_* rows
-        # isolate the kernel from MXU precision.
+        # eval default (infer/pcaa.py::_encode_split; its PointNet stage
+        # internally routes to folded XLA — the fused kernel's multi-pass
+        # f32 schedule OOMs scoped VMEM, ops/pallas/pointnet_infer.py);
+        # pallas_default was round 4's shipped path (the 12-flip
+        # measurement); the xla_* rows isolate the kernel from MXU
+        # precision.
         ("pallas_highest", True, "highest"),
         ("pallas_default", True, None),
         ("xla_highest", False, "highest"),
@@ -707,35 +759,35 @@ def write_report(report):
         "`scripts/export_reference_run.py`, and scored by the reference's own",
         "inference drivers on CPU.\n",
         "### PCAA\n",
-        "| k | ref-vs-fw(CPU) crop agreement | n crops | disagreeing crops "
-        "(max \\|margin\\| / split median) | unknown rate (ref / fw) | "
+        "| k | crop agreement | same-composition window agreement "
+        "(flips) | n crops | unknown rate (ref / fw) | "
         "ref / fw inference s |",
         "|---|---|---|---|---|---|",
     ]
     for r in report.get("pcaa_cpu", []):
         h = r["crop_agreement"]
-        if r.get("disagree_margins"):
-            worst = max(abs(m["fw_margin"]) for m in r["disagree_margins"])
-            dis = (
-                f"{r['n_disagree_crops']} "
-                f"({worst:.3g} / {r['median_abs_margin']:.3g})"
+        if "same_composition_window_agreement" in r:
+            sc = (
+                f"{r['same_composition_window_agreement']:.4f} "
+                f"({r['n_same_composition_flips']})"
             )
-        elif "n_disagree_crops" in r:
-            dis = "0"
         else:
-            dis = "—"
+            sc = "—"
         md.append(
-            f"| {r['k']} | {h['agree']:.4f} | {h['n_common']} | {dis} | "
+            f"| {r['k']} | {h['agree']:.4f} | {sc} | {h['n_common']} | "
             f"{r['unknown_rate_ref']:.4f} / {r['unknown_rate_fw']:.4f} | "
             f"{r['ref_inference_s']:.0f} / {r['fw_inference_s']:.0f} |"
         )
     md += [
         "",
-        "Disagreeing crops are members of k-windows whose vote flipped; the",
-        "margin column shows the largest framework-side |score − threshold|",
-        "among them against the split's median |margin| — knife-edge members",
-        "flip whole windows at k > 1 (reference loop",
-        "`inference_PCAA.py:241-314`).",
+        "Crop agreement at k > 1 also reflects the documented",
+        "sequential-ordering deviation (different crops share a voting",
+        "window); the same-composition column re-votes the framework's",
+        "per-crop scores on the REFERENCE's exact window composition",
+        "(reference loop `inference_PCAA.py:241-314`) — pure numerics.",
+        "Any same-composition flips carry their member-crop",
+        "|score − threshold| margins in DECISION_PARITY_FULL.json",
+        "(`same_composition_flip_margins`).",
     ]
     if "pcaa_tpu" in report:
         t = report["pcaa_tpu"]
