@@ -186,6 +186,30 @@ def patch_constants_fulldims(P):
     return constants
 
 
+def crop_fingerprint(gen_dir):
+    """sha256 over the on-disk TEST+UNSEEN crop bytes.
+
+    The reference's inference drivers REGENERATE the crop set with unseeded
+    pad/subsample draws (SURVEY §7.3), so the files in ``gen_dir`` only
+    match a pickled calibration if nothing regenerated them in between —
+    running the ORCED section (np.random.seed(30_000) stream) after the
+    PCAA state dump rewrites every crop. ``phase_tpu_pcaa`` asserts this
+    fingerprint so a stale-crop mismatch fails loudly instead of producing
+    a bogus attribution matrix (observed: max|Δll| ≈ 12 and 0.82 agreement
+    when scoring ORCED-regenerated crops against a PCAA-pass calibration).
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for split in ("test", "unseen"):
+        d = os.path.join(gen_dir, split)
+        for name in sorted(os.listdir(d)):
+            h.update(name.encode())
+            with open(os.path.join(d, name), "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
 def spawn_tpu_phase(phase, workdir):
     """Run a --phase tpu-* subprocess on the default (TPU) platform; the
     parent stays blocked (idle) so the child owns the 1 CPU core during its
@@ -404,7 +428,8 @@ def phase_compare(args):
             with open(P["state_pcaa"], "wb") as f:
                 pickle.dump(
                     dict(k=k, ref_map=ref_map, val_subjects=val_subjects,
-                         fw_map_cpu=fw_map, cal_cpu=cal_k),
+                         fw_map_cpu=fw_map, cal_cpu=cal_k,
+                         crop_fingerprint=crop_fingerprint(P["gen_dir"])),
                     f,
                 )
     if args.merge_report and "pcaa_cpu" in report:
@@ -563,6 +588,15 @@ def phase_tpu_pcaa(args):
         st = pickle.load(f)
     k = st["k"]
     cal_cpu = st["cal_cpu"]
+    if "crop_fingerprint" in st:
+        now = crop_fingerprint(P["gen_dir"])
+        if now != st["crop_fingerprint"]:
+            raise SystemExit(
+                "[full] tpu-pcaa: on-disk crops do not match the pickled "
+                "CPU calibration (a later inference pass regenerated them "
+                "with fresh unseeded pad/subsample draws) — re-run "
+                "--phase compare so the state dump and the crops agree"
+            )
     from opensetgaitrecognition_pcaa_tpu.config import SPLIT, VARIATION
     from opensetgaitrecognition_pcaa_tpu.data.dataset import RadarCropDataset
     from opensetgaitrecognition_pcaa_tpu.infer.artifacts import openset_metrics
