@@ -184,6 +184,32 @@ def reference_pcaa_window_map(ref_test, ref_unseen, preds, k):
     )
 
 
+def revote_windows(ll, preds, wins, k, thr, n_labels):
+    """The reference's k-window vote (``inference_PCAA.py:241-314``)
+    replayed over per-crop scores ``ll``/argmax predictions ``preds``
+    (already reindexed into the reference's crop order): a window is
+    "known" when a strict majority of its members score above ``thr``,
+    and its class is the plurality of member predictions; otherwise the
+    window is ``n_labels`` (unknown). Shared by the reduced-dims,
+    full-dims, and V1/V3 same-composition attributions."""
+    out = []
+    for w in wins:
+        if int(np.sum(ll[w] > thr)) > k / 2:
+            out.append(int(np.argmax(np.bincount(preds[w]))))
+        else:
+            out.append(n_labels)
+    return np.array(out)
+
+
+def assert_window_alignment(lab_r, ref_wins, n_test_wins, ref_test_labels):
+    """Reordered framework labels must replay the reference's test-window
+    leads — catches a bad filename→index join before it silently scores
+    the re-vote on misaligned crops."""
+    assert [int(lab_r[w[0]]) for w in ref_wins[:n_test_wins]] == [
+        int(ref_test_labels[w[0]]) for w in ref_wins[:n_test_wins]
+    ], "window reconstruction misaligned with the reference order"
+
+
 def framework_pcaa_window_map(fw_test, fw_unseen, preds, k, val_subjects):
     """The framework-side counterpart over ``RadarCropDataset`` instances,
     using the SAME val-subject draw as the reference side."""
@@ -441,17 +467,8 @@ def main():
         pred_r = np.concatenate([te_pred, un_pred])[order]
         lab_r = np.concatenate([fw_test.labels, fw_unseen.labels])[order]
         n_labels = fw_test.n_classes
-        revote = []
-        for w in ref_wins:
-            n_above = int(np.sum(ll_r[w] > thr))
-            if n_above > k / 2:
-                revote.append(int(np.argmax(np.bincount(pred_r[w]))))
-            else:
-                revote.append(n_labels)
-        assert [int(lab_r[w[0]]) for w in ref_wins[:n_test_wins]] == [
-            int(ref_test_labels[w[0]]) for w in ref_wins[:n_test_wins]
-        ], "window reconstruction misaligned with the reference order"
-        revote = np.array(revote)
+        revote = revote_windows(ll_r, pred_r, ref_wins, k, thr, n_labels)
+        assert_window_alignment(lab_r, ref_wins, n_test_wins, ref_test_labels)
         numeric = float(np.mean(revote == ref_preds))
         # attribute same-composition disagreements: a threshold flip leaves
         # exactly one side at "unknown"; anything else is a vote flip

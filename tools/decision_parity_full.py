@@ -54,8 +54,10 @@ if REPO not in sys.path:
 
 from tools.decision_parity import (  # noqa: E402
     agreement,
+    assert_window_alignment,
     framework_pcaa_window_map,
     reference_pcaa_window_map,
+    revote_windows,
     strip_usetex,
 )
 from tools.parity_vs_reference import (  # noqa: E402
@@ -372,17 +374,10 @@ def phase_compare(args):
             [fw_test.labels, fw_unseen.labels]
         )[order]
         thr = cal_k["log_threshold"]
-        revote = []
-        for w in ref_wins:
-            n_above = int(np.sum(ll_r[w] > thr))
-            if n_above > k / 2:
-                revote.append(int(np.argmax(np.bincount(pred_r[w]))))
-            else:
-                revote.append(cal_k["n_labels"])
-        assert [int(lab_r[w[0]]) for w in ref_wins[:n_test_wins]] == [
-            int(ref_test_labels[w[0]]) for w in ref_wins[:n_test_wins]
-        ], "window reconstruction misaligned with the reference order"
-        revote = np.array(revote)
+        revote = revote_windows(
+            ll_r, pred_r, ref_wins, k, thr, cal_k["n_labels"]
+        )
+        assert_window_alignment(lab_r, ref_wins, n_test_wins, ref_test_labels)
         same_comp = float(np.mean(revote == ref_preds))
         sc_dis = revote != ref_preds
         sc_flip_margins = [

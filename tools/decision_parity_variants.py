@@ -41,9 +41,11 @@ if REPO not in sys.path:
 
 from tools.decision_parity import (  # noqa: E402
     agreement,
+    assert_window_alignment,
     framework_pcaa_window_map,
     patch_reference_constants,
     reference_pcaa_window_map,
+    revote_windows,
     strip_usetex,
 )
 from tools.parity_vs_reference import (  # noqa: E402
@@ -158,9 +160,16 @@ def main():
             )
             ref_test = MSRadarDataset(REF_SPLIT.TEST, sequential=True)
             ref_unseen = MSRadarDataset(REF_SPLIT.UNSEEN, sequential=True)
-            ref_map, val_subjects, _, _, _ = reference_pcaa_window_map(
-                ref_test, ref_unseen, ref_preds, k
-            )
+            (
+                ref_map,
+                val_subjects,
+                ref_wins,
+                n_test_wins,
+                ref_test_labels,
+            ) = reference_pcaa_window_map(ref_test, ref_unseen, ref_preds, k)
+            ref_files = [
+                os.path.basename(f) for f in ref_test.filenames
+            ] + [os.path.basename(f) for f in ref_unseen.filenames]
 
             print(f"[dpv] {vname} k={k}: framework inference...")
             pcaa_inference(
@@ -170,6 +179,7 @@ def main():
                 figures_path=fw_figs,
                 variation=var,
                 generate_dataset=False,
+                dump_calibration=True,
             )
             fw_preds = np.load(
                 os.path.join(fw_models, name, f"final_preds_{k}.npy")
@@ -183,10 +193,38 @@ def main():
             )
             head = agreement(fw_map, ref_map)
             n_cls = len(TRAIN_CLASSES)
+
+            # same-composition re-vote: framework per-crop scores voted on
+            # the REFERENCE's exact window composition (crop agreement at
+            # k > 1 also reflects the documented sequential-ordering
+            # deviation; this isolates pure numerics)
+            cal = dict(
+                np.load(os.path.join(fw_models, name, "calibration.npz"))
+            )
+            ll_all = np.concatenate([cal["test_ll"], cal["unseen_ll"]])
+            pred_all = np.concatenate([cal["test_preds"], cal["unseen_preds"]])
+            files_all = list(fw_test.filenames) + list(fw_unseen.filenames)
+            pos = {f: i for i, f in enumerate(files_all)}
+            order = np.array([pos[f] for f in ref_files])
+            lab_r = np.concatenate(
+                [fw_test.labels, fw_unseen.labels]
+            )[order]
+            revote = revote_windows(
+                ll_all[order], pred_all[order], ref_wins, k,
+                float(cal["log_threshold"]), int(cal["n_labels"]),
+            )
+            assert_window_alignment(
+                lab_r, ref_wins, n_test_wins, ref_test_labels
+            )
+            same_comp = float(np.mean(revote == ref_preds))
+            n_sc_flips = int(np.sum(revote != ref_preds))
+
             row = dict(
                 variant=vname,
                 k=k,
                 crop_agreement=head,
+                same_composition_window_agreement=same_comp,
+                n_same_composition_flips=n_sc_flips,
                 unknown_rate_ref=float(np.mean(ref_preds == n_cls)),
                 unknown_rate_fw=float(np.mean(fw_preds == n_cls)),
                 n_windows_ref=len(ref_preds),
@@ -196,7 +234,8 @@ def main():
             rows.append(row)
             print(
                 f"[dpv] {vname} k={k}: crop agreement {head['agree']:.4f} "
-                f"(n={head['n_common']})"
+                f"(n={head['n_common']}), same-composition "
+                f"{same_comp:.4f} ({n_sc_flips} flips)"
             )
 
     # ---- splice into DECISION_PARITY.{json,md} ----------------------------
@@ -219,17 +258,28 @@ def main():
         "runs exported to torch folders and scored by the reference's own",
         f"`CGAAE_inference` with the matching VARIATION ({args.epochs}",
         "epochs):\n",
-        "| variant | k | crop agreement | n crops | unknown rate (ref / fw) |",
-        "|---|---|---|---|---|",
+        "| variant | k | crop agreement | same-composition window "
+        "agreement (flips) | n crops | unknown rate (ref / fw) |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         h = r["crop_agreement"]
         md.append(
             f"| {r['variant']} | {r['k']} | {h['agree']:.4f} | "
+            f"{r['same_composition_window_agreement']:.4f} "
+            f"({r['n_same_composition_flips']}) | "
             f"{h['n_common']} | {r['unknown_rate_ref']:.4f} / "
             f"{r['unknown_rate_fw']:.4f} |"
         )
-    md += ["", SECTION_END]
+    md += [
+        "",
+        "Crop agreement at k > 1 reflects the documented sequential-ordering",
+        "deviation (window composition); the same-composition column",
+        "re-votes the framework's per-crop scores on the REFERENCE's exact",
+        "windows — pure numerics.",
+        "",
+        SECTION_END,
+    ]
     block = "\n".join(md)
 
     dp_md = os.path.join(REPO, "DECISION_PARITY.md")
