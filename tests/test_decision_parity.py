@@ -297,3 +297,71 @@ class TestTwinAggregateStats:
         assert abs(got["p"] - want) < 1e-12
         assert _wilcoxon_greater(a[:4], b[:4]) is None
         assert _wilcoxon_greater(a, a) is None  # all ties
+
+    def test_regenerate_from_prior_recomputes_aggregate(self, tmp_path):
+        # aggregate(results=[], prior=snapshot) must reproduce the
+        # snapshot's row population and emit the statistics added AFTER it
+        # was written (the --regenerate-from path: a live extension run
+        # holds the old module, so its per-seed rewrites lack new fields).
+        import argparse
+        import json
+
+        import numpy as np
+        from scipy import stats
+
+        from tools.parity_twin import aggregate
+
+        rng = np.random.default_rng(7)
+        rows, drifts = [], {}
+        for seed in range(6):
+            drifts[str(seed)] = float(rng.uniform(1e-4, 1e-2))
+            for k in (1, 6):
+                for metric in ("f1_micro", "f1_macro", "f1_weighted"):
+                    fw = float(rng.uniform(0.3, 0.9))
+                    delta = float(rng.normal(0, 0.01))
+                    rows.append(
+                        dict(
+                            seed=seed,
+                            k=k,
+                            metric=metric,
+                            ref=fw - delta,
+                            fw=fw,
+                            delta=delta,
+                            ctrl_delta=float(rng.normal(0, 0.005)),
+                            regime_flip=False,
+                            unknown_ref=0.2,
+                            unknown_fw=0.2,
+                            auroc_ref=float(rng.uniform(0.7, 0.99)),
+                            auroc_fw=float(rng.uniform(0.7, 0.99)),
+                            auroc_ctrl=float(rng.uniform(0.7, 0.99)),
+                        )
+                    )
+        prior = dict(
+            epochs=10,
+            ks=[1, 6],
+            rows=rows,
+            trained_weight_drifts_by_seed=drifts,
+        )
+        args = argparse.Namespace(epochs=10, ks=[1, 6])
+        aggregate(args, [], out_dir=str(tmp_path), prior=prior)
+        s = json.loads((tmp_path / "PARITY_CRN.json").read_text())
+        assert s["n_seeds"] == 6
+        assert s["n_seeds_with_auroc"] == 6
+        assert s["trained_weight_drifts_by_seed"] == drifts
+
+        # the F1 chaos-floor Wilcoxon matches a direct scipy computation
+        # over per-seed means of |delta| vs |ctrl_delta| (f1_micro cells)
+        by_seed_a, by_seed_b = {}, {}
+        for r in rows:
+            if r["metric"] != "f1_micro":
+                continue
+            by_seed_a.setdefault(r["seed"], []).append(abs(r["delta"]))
+            by_seed_b.setdefault(r["seed"], []).append(abs(r["ctrl_delta"]))
+        a = [np.mean(by_seed_a[s_]) for s_ in sorted(by_seed_a)]
+        b = [np.mean(by_seed_b[s_]) for s_ in sorted(by_seed_b)]
+        want = stats.wilcoxon(a, b, alternative="greater").pvalue
+        got = s["same_regime_f1_exceeds_chaos_wilcoxon"]
+        assert got["n"] == 6
+        assert abs(got["p"] - want) < 1e-12
+        md = (tmp_path / "PARITY_CRN.md").read_text()
+        assert "same-regime f1_micro Δ(fw,ref)" in md
