@@ -365,3 +365,97 @@ class TestTwinAggregateStats:
         assert abs(got["p"] - want) < 1e-12
         md = (tmp_path / "PARITY_CRN.md").read_text()
         assert "same-regime f1_micro Δ(fw,ref)" in md
+
+    def test_reinjected_control_stats_scope_to_bearing_seeds(self, tmp_path):
+        # The reinjected-noise control (±1e-7 re-applied per epoch) was added
+        # after many seeds were recorded: aggregate() must scope its
+        # statistics to the rctrl-bearing population (mixed-age pools),
+        # match a direct scipy Wilcoxon over that population, and render
+        # n/a (not crash) when NO seed carries it.
+        import argparse
+        import json
+
+        import numpy as np
+        from scipy import stats
+
+        from tools.parity_twin import aggregate
+
+        rng = np.random.default_rng(11)
+
+        def mkres(seed, with_rctrl):
+            ref = {}
+            fw = {}
+            ctrl = {}
+            rctrl = {}
+            auroc = {}
+            ur = {}
+            for k in ("1", "6"):
+                fwv = {
+                    m: float(rng.uniform(0.3, 0.9))
+                    for m in ("f1_micro", "f1_macro", "f1_weighted")
+                }
+                fw[k] = fwv
+                ref[k] = {m: v - float(rng.normal(0, 0.01)) for m, v in fwv.items()}
+                ctrl[k] = {m: v + float(rng.normal(0, 0.005)) for m, v in fwv.items()}
+                if with_rctrl:
+                    rctrl[k] = {
+                        m: v + float(rng.normal(0, 0.008)) for m, v in fwv.items()
+                    }
+                au = {
+                    "ref": float(rng.uniform(0.7, 0.99)),
+                    "fw": float(rng.uniform(0.7, 0.99)),
+                    "ctrl": float(rng.uniform(0.7, 0.99)),
+                }
+                if with_rctrl:
+                    au["rctrl"] = float(rng.uniform(0.7, 0.99))
+                auroc[k] = au
+                ur[k] = {"ref": 0.2, "fw": 0.2, "ctrl": 0.2}
+            res = dict(
+                seed=seed,
+                epochs=10,
+                trained_encoder_max_weight_drift=float(rng.uniform(1e-3, 1e-1)),
+                unknown_rates=ur,
+                auroc=auroc,
+                ref=ref,
+                fw=fw,
+                ctrl=ctrl,
+            )
+            if with_rctrl:
+                res["rctrl"] = rctrl
+            return res
+
+        results = [mkres(s, with_rctrl=s >= 3) for s in range(9)]
+        args = argparse.Namespace(epochs=10, ks=[1, 6])
+        aggregate(args, results, out_dir=str(tmp_path))
+        s = json.loads((tmp_path / "PARITY_CRN.json").read_text())
+        assert s["n_seeds"] == 9
+        assert s["n_seeds_with_rctrl"] == 6
+
+        # direct scipy check of the reinjected AUROC Wilcoxon over the
+        # rctrl-bearing seeds only
+        a, b = [], []
+        for r in results[3:]:
+            a.append(
+                np.mean(
+                    [abs(r["auroc"][k]["fw"] - r["auroc"][k]["ref"]) for k in ("1", "6")]
+                )
+            )
+            b.append(
+                np.mean(
+                    [abs(r["auroc"][k]["rctrl"] - r["auroc"][k]["fw"]) for k in ("1", "6")]
+                )
+            )
+        want = stats.wilcoxon(a, b, alternative="greater").pvalue
+        got = s["auroc_exceeds_reinjected_chaos_wilcoxon"]
+        assert got["n"] == 6
+        assert abs(got["p"] - want) < 1e-12
+        md = (tmp_path / "PARITY_CRN.md").read_text()
+        assert "reinjected control |Δ(fw_r,fw)|" in md
+
+        # no rctrl anywhere → None stats, md renders n/a, no crash
+        results0 = [mkres(s, with_rctrl=False) for s in range(5)]
+        aggregate(args, results0, out_dir=str(tmp_path))
+        s0 = json.loads((tmp_path / "PARITY_CRN.json").read_text())
+        assert s0["n_seeds_with_rctrl"] == 0
+        assert s0["auroc_exceeds_reinjected_chaos_wilcoxon"] is None
+        assert s0["rctrl_same_regime_mean_abs_delta"] is None
