@@ -116,9 +116,13 @@ def serving_decision_ms(cfg, k=6, batch=32, model="pcaa"):
 
     ns = argparse.Namespace(k=k, n_labels=cfg.n_classes)
     build = _export_pcaa if model == "pcaa" else _export_orced
-    exported, make_inputs, _ = build(ns, jax, jnp, jax_export)
+    exported, make_inputs, _, host_epilogue = build(ns, jax, jnp, jax_export)
     R = 10
-    inputs = tuple(jnp.asarray(a) for a in make_inputs(batch))
+    # tree_map, not a flat asarray: the ORCED inputs include the weight
+    # pytrees as call arguments (tools/bench_serving.py::_export_orced —
+    # baked-constant weights make a ~860 MB module the tunnel's remote
+    # compile chokes on)
+    inputs = jax.tree_util.tree_map(jnp.asarray, tuple(make_inputs(batch)))
 
     @jax.jit
     def scanned(*carry0):
@@ -132,7 +136,18 @@ def serving_decision_ms(cfg, k=6, batch=32, model="pcaa"):
         return outs.sum() + c[0].sum() * 1e-20
 
     _, dt = _scan_timed(scanned, inputs, batch, R)
-    return dt / R / batch * 1000.0
+    ms = dt / R / batch * 1000.0
+
+    # ORCED: the f64 OR-ensemble criterion is a host epilogue over the
+    # forward triple (see infer/serving.py) — fold its numpy cost in so
+    # the metric is per DECISION, not per forward
+    if host_epilogue is not None:
+        h_outs = jax.device_get(exported.call(*inputs))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            host_epilogue(*h_outs)
+        ms += (time.perf_counter() - t0) / 10 / batch * 1000.0
+    return ms
 
 
 def pallas_parity_check() -> dict:
@@ -312,6 +327,10 @@ def main():
     # goes to a separate "errors" field (round-4 ADVICE).
     extra = {}
     errors = {}
+    # Transient axon-tunnel failures (observed: remote_compile broken pipe
+    # mid-run) get ONE retry after a pause — a one-off network hiccup should
+    # not null a metric the chip can measure.
+    transient = ("UNAVAILABLE", "Broken pipe", "Network Error", "transport")
     for name, fn in (
         ("orced_train_wps", lambda: orced_train_wps(cfg, x, y, perm)),
         ("infer_encoder_wps", lambda: infer_encoder_wps(cfg)),
@@ -324,11 +343,18 @@ def main():
             lambda: serving_decision_ms(cfg, model="orced"),
         ),
     ):
-        try:
-            extra[name] = round(fn(), 2)
-        except Exception as e:  # noqa: BLE001 — keep the headline alive
-            extra[name] = None
-            errors[name] = f"{type(e).__name__}: {e}"
+        extra[name] = None
+        for attempt in (0, 1):
+            try:
+                extra[name] = round(fn(), 2)
+                errors.pop(name, None)
+                break
+            except Exception as e:  # noqa: BLE001 — keep the headline alive
+                errors[name] = f"{type(e).__name__}: {e}"
+                if attempt == 0 and any(t in str(e) for t in transient):
+                    time.sleep(20)
+                    continue
+                break
 
     print(
         json.dumps(

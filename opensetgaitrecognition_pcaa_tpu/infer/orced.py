@@ -93,15 +93,19 @@ def orced_class_stats(
     )
 
 
-def orced_apply_ood(
+def orced_criteria(
     stats: ORCEDClassStats,
     thresholds_g: float,
     x_test_prediction: np.ndarray,
     z_test: np.ndarray,
     re_test: np.ndarray,
-) -> np.ndarray:
-    """OR-ensemble decision given the baked stats
-    (reference ``inference_ORCED.py:103-132``)."""
+):
+    """→ ``(latent_bools, rec_err_bools)`` — the two OR-ensemble rejection
+    criteria, host f64 numpy (reference ``inference_ORCED.py:103-132``).
+    The single implementation behind ``orced_apply_ood`` AND the serving
+    artifacts' host epilogue (``infer/serving.py`` — the criterion stays on
+    the host because TPU f64 is float-float emulation whose erf both
+    compiles pathologically and carries ~49-bit precision)."""
     n_classes = stats.n_classes
 
     # latent criterion: score > 0.95 for ALL classes → unseen
@@ -116,10 +120,24 @@ def orced_apply_ood(
 
     # reconstruction criterion: error above predicted-class μ+2σ → unseen
     thr_re = stats.thresholds_re[np.asarray(x_test_prediction)]
-    rec_err_bools = re_test > thr_re
+    rec_err_bools = np.asarray(re_test) > thr_re
+    return latent_bools, rec_err_bools
 
+
+def orced_apply_ood(
+    stats: ORCEDClassStats,
+    thresholds_g: float,
+    x_test_prediction: np.ndarray,
+    z_test: np.ndarray,
+    re_test: np.ndarray,
+) -> np.ndarray:
+    """OR-ensemble decision given the baked stats
+    (reference ``inference_ORCED.py:103-132``)."""
+    latent_bools, rec_err_bools = orced_criteria(
+        stats, thresholds_g, x_test_prediction, z_test, re_test
+    )
     out = np.array(x_test_prediction, dtype=np.int64)
-    out[np.logical_or(latent_bools, rec_err_bools)] = n_classes
+    out[np.logical_or(latent_bools, rec_err_bools)] = stats.n_classes
     return out
 
 

@@ -15,14 +15,20 @@ open-set decision end-to-end on device:
   (calibrated by ``infer/pcaa.py::calibrate_open_set`` at export time) are
   baked in as constants.
 - **ORCED** (``export_orced_decision``): ``(B, T, N, C)`` crops + a
-  ``(B, latent)`` reparametrization draw → ``(B,)`` decisions plus the two
-  OR-ensemble criterion flags. Encoder+decoder weights and the per-class
-  statistics (``infer/orced.py::orced_class_stats`` over the training
-  split) are baked in. The reparam noise is an explicit INPUT because the
-  model samples it even in eval (reference quirk, ``models.py:446-500``);
-  the loader draws it from a seeded numpy Generator by default — any
-  standard-normal source is faithful, the reference's own draw is unseeded
-  torch ``randn``.
+  ``(B, latent)`` reparametrization draw → the graph emits the forward
+  triple ``(preds, z, rec_error)``; ``ServingArtifact.decide`` applies the
+  host f64 OR-ensemble criterion (``orced_decide_host``, per-class stats
+  carried in the meta JSON) → ``(B,)`` decisions plus the two criterion
+  flags. Encoder+decoder weights are baked into the graph; the tiny f64
+  criterion deliberately stays on the HOST, mirroring the production eval
+  path (``infer/orced.py``): TPU f64 is float-float emulation whose erf
+  compiles pathologically and carries ~49 mantissa bits — a fused
+  on-device criterion would be slower to deploy and less faithful to the
+  reference's numpy f64 decisions. The reparam noise is an explicit INPUT
+  because the model samples it even in eval (reference quirk,
+  ``models.py:446-500``); the loader draws it from a seeded numpy
+  Generator by default — any standard-normal source is faithful, the
+  reference's own draw is unseeded torch ``randn``.
 
 The batch dimension is symbolic (``jax.export.symbolic_shape``), so one
 artifact serves any batch size, and artifacts are exported for BOTH cpu and
@@ -37,6 +43,10 @@ match the eval pipeline except where a score sits within ~1 ulp of its
 threshold: the PCAA threshold is itself one of the calibration scores, and
 BLAS-vs-XLA f64 summation order can differ in the last ulp. Exactness is
 regression-tested in ``tests/test_serving.py`` on margin-checked fixtures.
+On TPU, in-graph f64 (the PCAA mixture scoring) is float-float emulation
+(~49 mantissa bits) — decisions still agree away from sub-1e-9 threshold
+margins; the ORCED criterion avoids the question entirely by running on
+the host (see the ORCED bullet above).
 
 Artifact container: ``MAGIC | u64-LE meta length | meta JSON | StableHLO
 blob`` in one file; ``load_serving_artifact`` returns a callable wrapper.
@@ -117,49 +127,63 @@ def make_pcaa_decision_fn(encoder, n_labels: int, k: int):
     return decide
 
 
-def make_orced_decision_fn(encoder, decoder, n_labels: int):
-    """→ ``decide(e_vars, d_vars, means_z, stds_z, thr_re, x, eps)``.
+def make_orced_forward_fn(encoder, decoder):
+    """→ ``forward(e_vars, d_vars, x, eps)`` — the DEVICE part of the
+    OR-CED decision.
 
     ``x``: ``(B, T, N, C)`` f32 crops; ``eps``: ``(B, latent)`` f32 reparam
-    draw. Returns ``(decisions, latent_flag, rec_flag)`` — the OR-ensemble
-    of ``infer/orced.py::orced_apply_ood`` (reference ``inference_ORCED.py:
-    103-132``) fused with the model forward. Stats arrays are f64.
+    draw. Returns ``(preds (B,) i32, z (B, latent) f32, re (B,) f32)`` —
+    argmax class, latent sample, per-crop Chamfer reconstruction error.
+    The f64 OR-ensemble criterion itself (reference ``inference_ORCED.py:
+    103-132``) runs as a HOST epilogue (``orced_decide_host``) on these
+    three small outputs, exactly like the production eval path
+    (``infer/orced.py``): TPU "f64" is float-float emulation — its erf
+    compiles pathologically (a toy f64-erf graph took 229 s of remote
+    compile; the fused full graph never finished) and carries only ~49
+    mantissa bits, so fusing the criterion on-device would be both slower
+    to deploy and LESS faithful to the reference's numpy f64 decisions.
     """
     from opensetgaitrecognition_pcaa_tpu.ops import seq_chamfer
 
-    def decide(e_vars, d_vars, means_z, stds_z, thr_re, x, eps):
-        # stats may arrive as host numpy constants — make them traceable
-        means_z, stds_z, thr_re = (
-            jnp.asarray(means_z),
-            jnp.asarray(stds_z),
-            jnp.asarray(thr_re),
-        )
+    def forward(e_vars, d_vars, x, eps):
         logits, z, _mu, _logvar = encoder.apply(e_vars, x, train=False, eps=eps)
         preds = jnp.argmax(logits, axis=1).astype(jnp.int32)
         rec = decoder.apply(d_vars, z)
         re = seq_chamfer(rec, x, avg_out=False)  # (B,) f32
+        return preds, z, re
 
-        # latent criterion (f64, the diag(std) quirk preserved: h is
-        # normalized by sqrt(std), ops/openset.py::hyperrectangle_prob)
-        z64 = z.astype(jnp.float64)
-        h = jnp.abs(z64[None, :, :] - means_z[:, None, :]) / jnp.sqrt(
-            stds_z[:, None, :]
-        )  # (K, B, d)
-        phi = 0.5 * (1.0 + jax.scipy.special.erf(h / jnp.sqrt(2.0)))
-        p = jnp.prod(phi, axis=-1) - jnp.prod(1.0 - phi, axis=-1)  # (K, B)
-        latent_flag = (
-            jnp.sum((1.0 - p) < (1.0 - 0.95), axis=0) == n_labels
-        )  # score > 0.95 for ALL classes, reference's exact expression
+    return forward
 
-        # reconstruction criterion: error above predicted-class μ+2σ
-        rec_flag = re.astype(jnp.float64) > thr_re[preds]
 
-        decisions = jnp.where(
-            latent_flag | rec_flag, jnp.int32(n_labels), preds
-        )
-        return decisions, latent_flag, rec_flag
+def orced_decide_host(
+    preds, z, re, means_z, stds_z, thr_re, n_labels: int,
+    threshold_g: float = 0.95,
+):
+    """Host f64 epilogue over ``make_orced_forward_fn`` outputs →
+    ``(decisions (B,) i64, latent_flag (B,) bool, rec_flag (B,) bool)``.
 
-    return decide
+    Delegates to the eval pipeline's single criterion implementation
+    (``infer/orced.py::orced_criteria`` — diag(std) quirk and all), so
+    artifact decisions are bit-identical to ``orced_inference``'s."""
+    from opensetgaitrecognition_pcaa_tpu.infer.orced import (
+        ORCEDClassStats,
+        orced_criteria,
+    )
+
+    preds = np.asarray(preds)
+    stats = ORCEDClassStats(
+        means_z=np.asarray(means_z, np.float64),
+        stds_z=np.asarray(stds_z, np.float64),
+        thresholds_re=np.asarray(thr_re, np.float64),
+        n_classes=int(n_labels),
+    )
+    latent_flag, rec_flag = orced_criteria(
+        stats, threshold_g, preds,
+        np.asarray(z, np.float64), np.asarray(re, np.float64),
+    )
+    decisions = np.array(preds, dtype=np.int64)
+    decisions[latent_flag | rec_flag] = int(n_labels)
+    return decisions, latent_flag, rec_flag
 
 
 def _write_artifact(out_path: str, meta: Dict, exported) -> str:
@@ -191,9 +215,11 @@ class ServingArtifact:
         eps: Optional[np.ndarray] = None,
         seed: int = 0,
     ):
-        """Convenience wrapper: PCAA takes ``x=(B,k,T,N,C)`` windows; ORCED
-        takes ``x=(B,T,N,C)`` crops and draws ``eps`` from
-        ``np.random.default_rng(seed)`` unless given."""
+        """Convenience wrapper: PCAA takes ``x=(B,k,T,N,C)`` windows →
+        ``(decisions, n_above)``; ORCED takes ``x=(B,T,N,C)`` crops (``eps``
+        drawn from ``np.random.default_rng(seed)`` unless given), runs the
+        device forward and the host f64 OR-ensemble epilogue →
+        ``(decisions, latent_flag, rec_flag)``."""
         x = np.asarray(x, np.float32)
         if self.meta["model"] == "pcaa":
             return self.call(x)
@@ -203,7 +229,13 @@ class ServingArtifact:
                 .standard_normal((x.shape[0], self.meta["latent_dim"]))
                 .astype(np.float32)
             )
-        return self.call(x, np.asarray(eps, np.float32))
+        preds, z, re = self.call(x, np.asarray(eps, np.float32))
+        return orced_decide_host(
+            preds, z, re,
+            self.meta["means_z"], self.meta["stds_z"],
+            self.meta["thresholds_re"], self.meta["n_labels"],
+            self.meta.get("threshold_g", 0.95),
+        )
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
@@ -353,7 +385,7 @@ def export_orced_decision(
         tr_re, tr_z, y_tr[:n_keep].astype(np.int64), tr_preds
     )
 
-    decide = make_orced_decision_fn(encoder, decoder, stats.n_classes)
+    forward = make_orced_forward_fn(encoder, decoder)
     # bake HOST copies re-read from the run folder — enc_vars/dec_vars are
     # device-pinned (orced_inference_setup) and a device_get of the ~860 MB
     # decoder over the axon tunnel costs minutes; the local msgpack is free
@@ -365,12 +397,9 @@ def export_orced_decision(
     run_dir = os.path.join(models_path, model_name)
     e_host = load_params(module_path(run_dir, model_name, "E"))
     d_host = load_params(module_path(run_dir, model_name, "G"))
-    means_z = np.asarray(stats.means_z, np.float64)
-    stds_z = np.asarray(stats.stds_z, np.float64)
-    thr_re = np.asarray(stats.thresholds_re, np.float64)
 
     def baked(x, eps):
-        return decide(e_host, d_host, means_z, stds_z, thr_re, x, eps)
+        return forward(e_host, d_host, x, eps)
 
     (b,) = jax_export.symbolic_shape("b")
     latent = cfg.SUP_LATENT_DIM
@@ -393,11 +422,20 @@ def export_orced_decision(
             f"crops (b, {cfg.NSTEPS}, {cfg.NMAX}, {cfg.NFEATURES}) f32",
             f"eps (b, {latent}) f32 reparam draw",
         ],
+        # the GRAPH emits the forward triple; ``ServingArtifact.decide``
+        # applies the host f64 OR-ensemble epilogue (orced_decide_host)
+        # from the stats below → (decisions, latent_flag, rec_flag)
         "outputs": [
-            "decisions (b,) i32",
-            "latent_criterion (b,) bool",
-            "rec_error_criterion (b,) bool",
+            "preds (b,) i32",
+            f"z (b, {latent}) f32",
+            "rec_error (b,) f32",
         ],
+        "threshold_g": 0.95,
+        "means_z": np.asarray(stats.means_z, np.float64).tolist(),
+        "stds_z": np.asarray(stats.stds_z, np.float64).tolist(),
+        "thresholds_re": np.asarray(
+            stats.thresholds_re, np.float64
+        ).tolist(),
     }
     out_path = out_path or os.path.join(
         models_path, model_name, "serving_decision.osgr"

@@ -36,8 +36,9 @@ from opensetgaitrecognition_pcaa_tpu.infer.serving import (
     export_orced_decision,
     export_pcaa_decision,
     load_serving_artifact,
-    make_orced_decision_fn,
+    make_orced_forward_fn,
     make_pcaa_decision_fn,
+    orced_decide_host,
 )
 from opensetgaitrecognition_pcaa_tpu.models import (
     CGEncoder,
@@ -173,7 +174,13 @@ class TestPCAADecisionFn:
 
 
 class TestORCEDDecisionFn:
-    def test_matches_numpy_ensemble(self, tiny_orced):
+    def test_forward_plus_host_epilogue_matches_numpy_ensemble(
+        self, tiny_orced
+    ):
+        # the artifact decision = jitted device forward + host f64 epilogue
+        # (infer/serving.py design note: TPU f64 is emulated, so the
+        # criterion stays on the host) — must equal the eval pipeline's
+        # numpy OR-ensemble on an independently-computed forward
         enc, dec, ev, dv = tiny_orced
         rng = np.random.default_rng(2)
         means_z = rng.normal(size=(NL, LAT))
@@ -182,17 +189,20 @@ class TestORCEDDecisionFn:
         x = rng.normal(size=(7, T, N, C)).astype(np.float32)
         eps = rng.standard_normal((7, LAT)).astype(np.float32)
 
-        decide = jax.jit(make_orced_decision_fn(enc, dec, NL))
-        with jax.enable_x64():
-            d, lf, rf = decide(
-                ev, dv, means_z, stds_z, thr_re, jnp.asarray(x),
-                jnp.asarray(eps),
-            )
+        forward = jax.jit(make_orced_forward_fn(enc, dec))
+        f_preds, f_z, f_re = jax.device_get(
+            forward(ev, dv, jnp.asarray(x), jnp.asarray(eps))
+        )
+        d, lf, rf = orced_decide_host(
+            f_preds, f_z, f_re, means_z, stds_z, thr_re, NL
+        )
 
         # same forward outside, then the numpy decision rule
         logits, z, _, _ = enc.apply(ev, x, train=False, eps=jnp.asarray(eps))
         preds = np.asarray(logits).argmax(1)
+        np.testing.assert_array_equal(f_preds, preds)
         re = np.asarray(seq_chamfer(dec.apply(dv, z), x, avg_out=False))
+        np.testing.assert_allclose(f_re, re, rtol=1e-6)
         stats = ORCEDClassStats(means_z, stds_z, thr_re, NL)
         expected = orced_apply_ood(stats, 0.95, preds, np.asarray(z), re)
         np.testing.assert_array_equal(np.asarray(d), expected)
